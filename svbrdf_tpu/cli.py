@@ -1,0 +1,110 @@
+"""Command-line interface.
+
+Flag surface = reference cli.py:3-88 (same 16 flags + the same cross-flag
+validation), plus TPU-native extensions: --loss, --dtype, --num-devices,
+--batch-size and --learning-rate (the reference hard-codes batch 8 at
+main.py:63 and lr 1e-5 at main.py:74).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="SVBRDF estimation from images (TPU-native)")
+
+    p.add_argument("--mode", "-M", dest="mode", required=True,
+                   choices=["train", "test"],
+                   help="Mode in which the program is executed.")
+    p.add_argument("--renderer", "-R", dest="renderer",
+                   choices=["local", "pathtracing"], default="local",
+                   help="Renderer used by the rendering loss.")
+    p.add_argument("--input-dir", "-i", dest="input_dir", required=True,
+                   help="Directory containing the input data.")
+    p.add_argument("--image-count", "-c", dest="image_count", required=True,
+                   type=int,
+                   help="Number of photographs per sample strip in the "
+                        "dataset.")
+    p.add_argument("--linear-input", dest="linear_input",
+                   action="store_true", default=False,
+                   help="Input images are already linear RGB.")
+    p.add_argument("--no-svbrdf-input", dest="no_svbrdf_input",
+                   action="store_true", default=False,
+                   help="Samples contain no SVBRDF maps (photos only).")
+    p.add_argument("--used-image-count", "-u", dest="used_image_count",
+                   type=int, default=1,
+                   help="Number of input images fed to the model; missing "
+                        "ones are synthesized on device.")
+    p.add_argument("--image-size", "-s", dest="image_size", type=int,
+                   default=256,
+                   help="Model input/output resolution.")
+    p.add_argument("--scale-mode", dest="scale_mode",
+                   choices=["crop", "resize"], default="crop",
+                   help="How larger samples are fit to --image-size.")
+    p.add_argument("--use-coords", dest="use_coords", action="store_true",
+                   default=False,
+                   help="Append x/y coordinate channels to the input.")
+    p.add_argument("--omit-optimizer-state-save",
+                   dest="omit_optimizer_state_save", action="store_true",
+                   default=False,
+                   help="Smaller checkpoints; resume quality suffers.")
+    p.add_argument("--model-dir", "-m", dest="model_dir", required=True,
+                   help="Directory for checkpoints and logs.")
+    p.add_argument("--model-type", dest="model_type",
+                   choices=["single", "multi"], default="single",
+                   help="Single-view or multi-view model.")
+    p.add_argument("--gpu-id", "-g", dest="gpu_id", type=int, default=0,
+                   help="Compatibility flag; device selection is automatic "
+                        "on TPU (< 0 forces CPU).")
+    p.add_argument("--save-frequency", dest="save_frequency", type=int,
+                   choices=range(1, 1000), default=50, metavar="[1-999]",
+                   help="Epochs between checkpoints.")
+    p.add_argument("--validation-frequency", dest="validation_frequency",
+                   type=int, choices=range(1, 1000), default=25,
+                   metavar="[1-999]",
+                   help="Epochs between validation passes.")
+    p.add_argument("--epochs", "-e", dest="epochs", type=int, default=100,
+                   help="Train up to this epoch.")
+    p.add_argument("--retrain", dest="retrain", action="store_true",
+                   default=False,
+                   help="Ignore any checkpoint in the model directory.")
+
+    # --- TPU-native extensions ---
+    p.add_argument("--loss", dest="loss", choices=["mixed", "l1", "render"],
+                   default="mixed", help="Training objective.")
+    p.add_argument("--batch-size", dest="batch_size", type=int, default=8,
+                   help="Global batch size (split across the device mesh).")
+    p.add_argument("--learning-rate", dest="learning_rate", type=float,
+                   default=1e-5, help="Adam learning rate.")
+    p.add_argument("--dtype", dest="dtype",
+                   choices=["float32", "bfloat16"], default="float32",
+                   help="Model compute dtype (params stay float32).")
+    p.add_argument("--num-devices", dest="num_devices", type=int, default=0,
+                   help="Devices in the data mesh (0 = all).")
+    p.add_argument("--model-depth", dest="model_depth", type=int, default=8,
+                   help="U-Net depth (8 = reference architecture; inputs "
+                        "must be at least 2^depth pixels).")
+    p.add_argument("--num-filters", dest="num_filters", type=int, default=64,
+                   help="Base filter count ('ngf'); 64 = reference.")
+    p.add_argument("--seed", dest="seed", type=int, default=313,
+                   help="Base PRNG seed (reference utils.py:7 uses 313).")
+    p.add_argument("--profile-dir", dest="profile_dir", default=None,
+                   help="If set, write a jax.profiler trace for the first "
+                        "few steps here.")
+    return p
+
+
+def parse_args(argv=None):
+    args = build_parser().parse_args(argv)
+
+    # Cross-flag validation (reference cli.py:80-86).
+    if args.no_svbrdf_input:
+        if args.mode == "train":
+            raise RuntimeError(
+                "Cannot train on samples without SVBRDF maps.")
+        if args.image_count == 0:
+            raise RuntimeError(
+                "No SVBRDF and no image input. What are we supposed to do?")
+    return args

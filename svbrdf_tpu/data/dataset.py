@@ -1,0 +1,148 @@
+"""SvbrdfDataset: host I/O orchestration over the strip format.
+
+Capability contract = reference dataset.py:11-220 (SvbrdfDataset), covering
+its three input modes:
+  (a) multi-view strips  [N photos + 4 maps]          (input_image_count=N)
+  (b) SVBRDF-only strips with on-the-fly input render (input_image_count=0)
+  (c) photograph folders without maps                 (no_svbrdf=True)
+
+Split of responsibilities (TPU-native, unlike the reference's CPU worker
+pipeline): the host decodes PNGs and picks random *indices* (shuffle,
+mixing partners, crop anchors); all math — mixing, gamma decode, bilinear
+resize, input synthesis, noise — is jax code from data/pipeline.py that the
+training loop runs on device inside the jitted step.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional
+
+import jax
+import numpy as np
+
+from svbrdf_tpu.data import pipeline, strips
+
+
+class SvbrdfDataset:
+    def __init__(self, data_directory: str, image_size: int = 256,
+                 scale_mode: str = "crop", input_image_count: int = 0,
+                 used_input_image_count: int = 1,
+                 use_augmentation: bool = True,
+                 mix_materials: bool = False, no_svbrdf: bool = False,
+                 is_linear: bool = False, random_crop: bool = False,
+                 seed: int = 313):
+        self.data_directory = data_directory
+        self.file_paths: List[str] = strips.list_sample_files(data_directory)
+        self.image_size = image_size
+        self.scale_mode = scale_mode
+        self.input_image_count = input_image_count
+        self.used_input_image_count = used_input_image_count
+        self.use_augmentation = use_augmentation
+        # Mixing is only defined for map-only datasets (reference
+        # dataset.py:29-31).
+        self.mix_materials = mix_materials and input_image_count == 0
+        if mix_materials and input_image_count > 0:
+            print("Warning: material mixing requires a dataset without "
+                  "input images; disabled.")
+        self.no_svbrdf = no_svbrdf
+        self.is_linear = is_linear
+        self.random_crop = random_crop
+
+        self._host_rng = np.random.default_rng(seed)
+        self._key = jax.random.key(seed)
+
+    def __len__(self) -> int:
+        return len(self.file_paths)
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _crop_anchor(self, h: int, w: int):
+        if self.scale_mode == "crop" and self.random_crop:
+            return (int(self._host_rng.integers(0, h - self.image_size + 1)),
+                    int(self._host_rng.integers(0, w - self.image_size + 1)))
+        return (0, 0)
+
+    def load_scaled(self, idx: int):
+        """Host: strip -> scaled (inputs (N_read, s, s, 3), svbrdf (s, s, 12))."""
+        inputs, svbrdf = strips.load_sample(
+            self.file_paths[idx], self.input_image_count,
+            self.used_input_image_count, self.no_svbrdf)
+        anchor = self._crop_anchor(svbrdf.shape[0], svbrdf.shape[1])
+        if inputs.shape[0] == 0:
+            # crop_square/resize need >=1 leading image; scale svbrdf alone.
+            _, svbrdf = pipeline.scale_sample(
+                svbrdf[None], svbrdf, self.image_size, self.scale_mode,
+                anchor)
+            inputs = np.zeros((0,) + tuple(svbrdf.shape[:2]) + (3,),
+                              np.float32)
+        else:
+            inputs, svbrdf = pipeline.scale_sample(
+                inputs, svbrdf, self.image_size, self.scale_mode, anchor)
+        return np.asarray(inputs), np.asarray(svbrdf)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        """Fully-prepared single item (parity path; training uses batches()).
+
+        Returns {'inputs': (used_count, s, s, 3) linear RGB,
+                 'svbrdf': (s, s, 12)}. Reference dataset.py:45-103.
+        """
+        inputs, svbrdf = self.load_scaled(idx)
+
+        if self.mix_materials:
+            other = int(self._host_rng.integers(0, len(self)))
+            _, other_svbrdf = self.load_scaled(other)
+            svbrdf = np.asarray(pipeline.mix_materials(
+                self._next_key(), svbrdf, other_svbrdf))
+
+        inputs, svbrdf = pipeline.prepare_sample(
+            self._next_key(), inputs, svbrdf,
+            used_input_image_count=self.used_input_image_count,
+            use_augmentation=self.use_augmentation,
+            is_linear=self.is_linear)
+        return {"inputs": np.asarray(inputs), "svbrdf": np.asarray(svbrdf)}
+
+    # ------------------------------------------------------------------
+    # Batched training path: host assembles raw arrays; device (jitted
+    # caller) runs pipeline.prepare_batch.
+    # ------------------------------------------------------------------
+    def raw_batch(self, indices) -> Dict[str, np.ndarray]:
+        """Stack scaled raw samples + mixing partners for device prep."""
+        inputs, svbrdfs, partners = [], [], []
+        for i in indices:
+            x, s = self.load_scaled(int(i))
+            inputs.append(x)
+            svbrdfs.append(s)
+            if self.mix_materials:
+                j = int(self._host_rng.integers(0, len(self)))
+                partners.append(self.load_scaled(j)[1])
+        batch = {
+            "inputs": np.stack(inputs),
+            "svbrdf": np.stack(svbrdfs),
+        }
+        if self.mix_materials:
+            batch["partner_svbrdf"] = np.stack(partners)
+        return batch
+
+    def epoch_batches(self, batch_size: int, shuffle: bool = True,
+                      drop_remainder: bool = False
+                      ) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self))
+        if shuffle:
+            self._host_rng.shuffle(order)
+        for lo in range(0, len(order), batch_size):
+            idx = order[lo:lo + batch_size]
+            if drop_remainder and len(idx) < batch_size:
+                return
+            yield self.raw_batch(idx)
+
+
+def split_train_validation(dataset_len: int, validation_split: float = 0.01,
+                           seed: int = 313):
+    """Random 99/1 index split (reference main.py:57-59)."""
+    import math
+
+    n_train = int(math.ceil(dataset_len * (1.0 - validation_split)))
+    order = np.random.default_rng(seed).permutation(dataset_len)
+    return order[:n_train], order[n_train:]

@@ -1,0 +1,101 @@
+"""Port PyTorch reference checkpoints into our Flax parameter trees.
+
+Lets users of the reference (mworchel/svbrdf-estimation) carry their
+trained `checkpoint.tar` weights over (reference persistence.py:59-69
+stores `model_state_dict`), and powers the bitwise-closeness parity tests
+against the PyTorch model.
+
+Layout conversions: torch conv weight (O, I, kh, kw) -> flax (kh, kw, I, O);
+torch linear weight (O, I) -> flax (I, O). Module-path translation follows
+the reference model tree (models.py:208-411) vs ours (models/generator.py).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+from flax import traverse_util
+
+
+def _torch_key(path) -> str:
+    """Translate a flax param path to the reference state_dict key."""
+    parts = [str(p) for p in path]
+    leaf = parts.pop()
+    segs = []
+    i = 0
+    while i < len(parts):
+        s = parts[i]
+        nxt = parts[i + 1] if i + 1 < len(parts) else None
+        if re.fullmatch(r"enc\d", s) or re.fullmatch(r"conv\d", s):
+            # EncodingLayer/ConvFeatureLayer wrap an InterconnectedConvLayer
+            # called `conv` (reference models.py:97,156).
+            if nxt == "conv":
+                segs += [s, "conv", "conv"]
+                i += 2
+            elif nxt == "norm":
+                segs += [s, "conv", "norm"]
+                i += 2
+            elif nxt == "merge":
+                segs += [s, "conv", "merge", "fully_connected"]
+                i += 3  # skip 'merge', 'fc'
+            else:
+                segs.append(s)
+                i += 1
+        elif re.fullmatch(r"dec\d", s):
+            # DecodingLayer wraps `deconv` whose conv is a Sequential:
+            # [upsample, pad, conv, pad, conv] (reference models.py:119-126).
+            if nxt == "conv1":
+                segs += [s, "deconv", "conv", "2"]
+                i += 2
+            elif nxt == "conv2":
+                segs += [s, "deconv", "conv", "4"]
+                i += 2
+            elif nxt == "norm":
+                segs += [s, "deconv", "norm"]
+                i += 2
+            elif nxt == "merge":
+                segs += [s, "deconv", "merge", "fully_connected"]
+                i += 3
+            else:
+                segs.append(s)
+                i += 1
+        elif re.fullmatch(r"gte\d|gtd\d|gt\d", s):
+            segs += [s, "fully_connected"]
+            i += 2  # skip 'fc'
+        elif s == "merge" and nxt == "fc":
+            segs += ["merge", "fully_connected"]
+            i += 2
+        else:
+            segs.append(s)
+            i += 1
+
+    suffix = {"kernel": "weight", "scale": "weight", "bias": "bias"}[leaf]
+    return ".".join(segs + [suffix])
+
+
+def port_torch_state_dict(state_dict: Dict, flax_params) -> Dict:
+    """Fill a flax param tree with reference torch weights.
+
+    state_dict values may be torch tensors or numpy arrays. Raises KeyError
+    / shape mismatch if the architectures disagree.
+    """
+    def to_np(v):
+        return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+    flat = traverse_util.flatten_dict(flax_params)
+    out = {}
+    for path, val in flat.items():
+        w = to_np(state_dict[_torch_key(path)])
+        if path[-1] == "kernel" and w.ndim == 4:
+            w = w.transpose(2, 3, 1, 0)
+        elif path[-1] == "kernel" and w.ndim == 2:
+            w = w.T
+        if w.shape != val.shape:
+            raise ValueError(
+                f"shape mismatch at {'/'.join(map(str, path))}: "
+                f"torch {w.shape} vs flax {val.shape}")
+        out[path] = jnp.asarray(w, jnp.float32)
+    return traverse_util.unflatten_dict(out)

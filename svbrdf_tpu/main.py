@@ -1,0 +1,32 @@
+"""Entry point: `python -m svbrdf_tpu.main --mode train ...`.
+
+Flow contract = reference main.py:15-44: parse args -> load checkpoint
+(unless --retrain) -> checkpoint args override CLI -> train or test.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def main(argv=None):
+    from svbrdf_tpu.cli import parse_args
+
+    args = parse_args(argv)
+
+    if args.gpu_id < 0:  # reference main.py:33-35: gpu_id < 0 => CPU
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    from svbrdf_tpu.training import loop
+
+    if args.mode == "train":
+        loop.run_training(args)
+        # After training, evaluate on the validation (fallback: training)
+        # split visually, like reference main.py:156-223.
+        loop.run_test(args)
+    else:
+        loop.run_test(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Gamma / SVBRDF / unit-interval codecs (pure jax.numpy, channels-last).
+
+Functional contracts match reference utils.py:30-98 but the layout is
+TPU-native NHWC: an SVBRDF is a (..., H, W, 12) array with channels
+[normals(3) | diffuse(3) | roughness(3) | specular(3)] on the LAST axis
+(the reference packs on dim=-3, i.e. NCHW; utils.py:36-58). Channels-last
+keeps the channel axis on the TPU lane dimension so XLA tiles convs and
+elementwise chains onto the MXU/VPU without transposes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+GAMMA = 2.2
+
+# Channel slices of a packed 12-channel SVBRDF (last axis).
+NORMALS = slice(0, 3)
+DIFFUSE = slice(3, 6)
+ROUGHNESS = slice(6, 9)
+SPECULAR = slice(9, 12)
+
+
+class SvbrdfMaps(NamedTuple):
+    """Unpacked SVBRDF maps; each (..., H, W, 3)."""
+
+    normals: jnp.ndarray
+    diffuse: jnp.ndarray
+    roughness: jnp.ndarray
+    specular: jnp.ndarray
+
+
+def gamma_decode(images: jnp.ndarray) -> jnp.ndarray:
+    """sRGB-ish -> linear. Reference utils.py:30-31."""
+    return jnp.power(images, GAMMA)
+
+
+def gamma_encode(images: jnp.ndarray) -> jnp.ndarray:
+    """Linear -> sRGB-ish. Reference utils.py:33-34."""
+    return jnp.power(images, 1.0 / GAMMA)
+
+
+def pack_svbrdf(normals, diffuse, roughness, specular) -> jnp.ndarray:
+    """Concatenate maps on the channel (last) axis. Reference utils.py:36-38."""
+    return jnp.concatenate([normals, diffuse, roughness, specular], axis=-1)
+
+
+def unpack_svbrdf(svbrdf: jnp.ndarray, is_encoded: bool = False) -> SvbrdfMaps:
+    """Split a packed SVBRDF into maps. Reference utils.py:40-58.
+
+    is_encoded=False: 12 channels -> (3, 3, 3, 3).
+    is_encoded=True : 9 channels [nx ny | d(3) | r(1) | s(3)] ->
+                      normals has 2 channels, roughness has 1.
+    """
+    if not is_encoded:
+        return SvbrdfMaps(
+            normals=svbrdf[..., NORMALS],
+            diffuse=svbrdf[..., DIFFUSE],
+            roughness=svbrdf[..., ROUGHNESS],
+            specular=svbrdf[..., SPECULAR],
+        )
+    return SvbrdfMaps(
+        normals=svbrdf[..., 0:2],
+        diffuse=svbrdf[..., 2:5],
+        roughness=svbrdf[..., 5:6],
+        specular=svbrdf[..., 6:9],
+    )
+
+
+def decode_svbrdf(svbrdf9: jnp.ndarray) -> jnp.ndarray:
+    """9-channel network output -> 12-channel SVBRDF. Reference utils.py:73-88.
+
+    normals: (nx, ny) scaled by 3, z = 1, renormalized; roughness replicated
+    to 3 channels. Channels assumed in [-1, 1].
+    """
+    nxy, diffuse, roughness, specular = unpack_svbrdf(svbrdf9, is_encoded=True)
+
+    roughness = jnp.repeat(roughness, 3, axis=-1)
+
+    nxy = nxy * 3.0
+    nz = jnp.ones_like(nxy[..., :1])
+    normals = jnp.concatenate([nxy, nz], axis=-1)
+    norm = jnp.sqrt(jnp.sum(jnp.square(normals), axis=-1, keepdims=True))
+    normals = normals / norm
+
+    return pack_svbrdf(normals, diffuse, roughness, specular)
+
+
+def encode_as_unit_interval(x: jnp.ndarray) -> jnp.ndarray:
+    """[-1, 1] -> [0, 1]. Reference utils.py:92-93."""
+    return (x + 1.0) / 2.0
+
+
+def decode_from_unit_interval(x: jnp.ndarray) -> jnp.ndarray:
+    """[0, 1] -> [-1, 1]. Reference utils.py:97-98."""
+    return x * 2.0 - 1.0
+
+
+def crop_square(images: jnp.ndarray, anchor, size: int) -> jnp.ndarray:
+    """Crop a size×size window at (row, col) anchor from (..., H, W, C).
+
+    Reference utils.py:15-28 (NCHW there). `size` must be static; anchor may
+    be traced (uses lax.dynamic_slice semantics via jnp.take-free slicing).
+    """
+    import jax.lax as lax
+
+    row, col = anchor[0], anchor[1]
+    ndim = images.ndim
+    starts = [0] * ndim
+    sizes = list(images.shape)
+    starts[-3], starts[-2] = row, col
+    sizes[-3], sizes[-2] = size, size
+    return lax.dynamic_slice(images, starts, sizes)

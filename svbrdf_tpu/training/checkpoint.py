@@ -1,0 +1,156 @@
+"""Checkpoint persistence with the reference's restore semantics.
+
+Capability contract = reference persistence.py:6-121 (Checkpoint):
+  - one checkpoint directory holding model + optimizer + epoch + the two
+    architecture-determining args (model_type, use_coords),
+  - restored args OVERRIDE the CLI (reference persistence.py:78-94,
+    main.py:26-27),
+  - optional omission of optimizer state (reference cli.py:45-47),
+  - selective restore helpers; loading is optional-by-default (a missing
+    checkpoint is not an error except in test mode).
+
+Storage is Orbax (async-capable, TPU-sharding-aware) for the param/opt
+pytrees plus a JSON sidecar for scalar metadata — instead of a torch.save
+tarball.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+META_FILE = "meta.json"
+TREE_DIR = "state"
+
+
+class Checkpoint:
+    """An in-memory view of a loaded checkpoint (or an invalid one)."""
+
+    def __init__(self, tree: Optional[Dict] = None,
+                 meta: Optional[Dict] = None):
+        self._tree = tree
+        self._meta = meta or {}
+
+    # -- loading --------------------------------------------------------
+    @classmethod
+    def load(cls, checkpoint_dir, template: Optional[Dict] = None
+             ) -> "Checkpoint":
+        """Load from dir; returns an invalid Checkpoint when absent.
+
+        `template` (a pytree of like-shaped arrays) enables exact dtype /
+        sharding restoration; without it the stored tree is returned as-is.
+        """
+        d = pathlib.Path(checkpoint_dir)
+        tree_path = d / TREE_DIR
+        meta_path = d / META_FILE
+        if not tree_path.exists():
+            print(f"No checkpoint found in directory '{checkpoint_dir}'")
+            return cls(None)
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            if template is not None:
+                restore_args = jax.tree.map(
+                    lambda x: ocp.ArrayRestoreArgs(dtype=x.dtype), template)
+                tree = ckptr.restore(
+                    tree_path.resolve(),
+                    args=ocp.args.PyTreeRestore(
+                        item=template,
+                        restore_args=restore_args))
+            else:
+                tree = ckptr.restore(tree_path.resolve())
+        meta = {}
+        if meta_path.exists():
+            meta = json.loads(meta_path.read_text())
+        return cls(tree, meta)
+
+    # -- saving ---------------------------------------------------------
+    @staticmethod
+    def save(checkpoint_dir, params, opt_state, epoch: int,
+             model_type: str, use_coords: bool,
+             omit_optimizer_state: bool = False,
+             extra_meta: Optional[Dict[str, Any]] = None) -> None:
+        """Write {params[, opt_state]} + metadata. Reference persistence.py:52-69."""
+        d = pathlib.Path(checkpoint_dir)
+        d.mkdir(parents=True, exist_ok=True)
+
+        from flax import serialization
+
+        # Canonical storage form: flax state-dicts (pure nested dicts),
+        # so optax NamedTuple/tuple structures survive the orbax roundtrip.
+        tree = {"params": serialization.to_state_dict(params)}
+        if not omit_optimizer_state and opt_state is not None:
+            tree["opt_state"] = serialization.to_state_dict(opt_state)
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save((d / TREE_DIR).resolve(), tree, force=True)
+
+        meta = {
+            "model_type": model_type,
+            "use_coords": bool(use_coords),
+            "epoch": int(epoch),
+        }
+        if extra_meta:
+            meta.update(extra_meta)
+        (d / META_FILE).write_text(json.dumps(meta, indent=2))
+
+    # -- queries / selective restore ------------------------------------
+    def is_valid(self) -> bool:
+        return self._tree is not None
+
+    def purge(self) -> None:
+        """Drop the in-memory tree (reference persistence.py:71-73)."""
+        self._tree = None
+
+    def restore_args(self, args):
+        """Architecture args in the checkpoint override the CLI.
+
+        Reference persistence.py:78-94.
+        """
+        if "model_type" in self._meta:
+            args.model_type = self._meta["model_type"]
+            print(f"Restored model type '{args.model_type}'")
+        if "use_coords" in self._meta:
+            args.use_coords = self._meta["use_coords"]
+            print(f"Restored use coords flag '{args.use_coords}'")
+        # Architecture extensions beyond the reference's two flags.
+        for extra in ("model_depth", "num_filters"):
+            if extra in self._meta:
+                setattr(args, extra, self._meta[extra])
+        return args
+
+    def restore_params(self, params):
+        """Fill `params` (template or None) from the stored state-dict."""
+        if self._tree and "params" in self._tree:
+            print("Restored model state")
+            if params is None:
+                return self._tree["params"]
+            from flax import serialization
+
+            return serialization.from_state_dict(params,
+                                                 self._tree["params"])
+        print("Failed to restore model state")
+        return params
+
+    def restore_opt_state(self, opt_state):
+        """Fill `opt_state` (template or None) from the stored state-dict."""
+        if self._tree and "opt_state" in self._tree:
+            print("Restored optimizer state")
+            if opt_state is None:
+                return self._tree["opt_state"]
+            from flax import serialization
+
+            return serialization.from_state_dict(opt_state,
+                                                 self._tree["opt_state"])
+        print("Failed to restore optimizer state")
+        return opt_state
+
+    def restore_epoch(self, epoch: int) -> int:
+        if "epoch" in self._meta:
+            print(f"Restored epoch {self._meta['epoch']}")
+            return int(self._meta["epoch"])
+        print("Failed to restore epoch")
+        return epoch

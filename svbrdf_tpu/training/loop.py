@@ -1,0 +1,237 @@
+"""Train / test driver.
+
+Orchestration contract = reference main.py:15-223: checkpoint-first arg
+restore, deterministic seeding, model build + restore, dataset with 1%
+validation split, Adam, mixed loss with selectable renderer, per-step
+`loss` scalars + periodic `val_loss`, checkpoint cadence, final save, and
+a test-time visualization of input + GT maps vs predicted maps.
+
+TPU-native differences: the hot path is ONE jitted SPMD program (see
+parallel/step.py) over a data mesh; data synthesis runs on device; RNG is
+an explicit key tree derived from the seed (reference relies on global
+torch/numpy seeding, utils.py:7-13).
+"""
+
+from __future__ import annotations
+
+import math
+import pathlib
+import shutil
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from svbrdf_tpu import losses as losses_lib
+from svbrdf_tpu.data.dataset import SvbrdfDataset, split_train_validation
+from svbrdf_tpu.models import build_model
+from svbrdf_tpu.parallel import make_mesh, mesh as mesh_lib
+from svbrdf_tpu.parallel.step import (PrepConfig, make_eval_step,
+                                      make_predict_fn, make_train_step)
+from svbrdf_tpu.training.checkpoint import Checkpoint
+from svbrdf_tpu.training.tensorboard import SummaryWriter
+
+DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+def _build_dataset(args, mode: str) -> SvbrdfDataset:
+    return SvbrdfDataset(
+        data_directory=args.input_dir,
+        image_size=args.image_size,
+        scale_mode=args.scale_mode,
+        input_image_count=args.image_count,
+        used_input_image_count=args.used_image_count,
+        use_augmentation=True,
+        mix_materials=(mode == "train"),
+        no_svbrdf=args.no_svbrdf_input,
+        is_linear=args.linear_input,
+        seed=args.seed,
+    )
+
+
+def _prep_config(args, dataset: SvbrdfDataset) -> PrepConfig:
+    return PrepConfig(
+        used_input_image_count=args.used_image_count,
+        use_augmentation=True,
+        is_linear=args.linear_input,
+        mix_materials=dataset.mix_materials,
+    )
+
+
+def _loss_kind(name: str) -> str:
+    return {"mixed": "mixed", "l1": "l1", "render": "rendering"}[name]
+
+
+def _init_params(model, args, key):
+    n_views = max(1, min(args.image_count, args.used_image_count),
+                  args.used_image_count)
+    sample = jnp.zeros((1, n_views, args.image_size, args.image_size, 3),
+                       jnp.float32)
+    return model.init(key, sample)["params"]
+
+
+def setup(args, mesh=None):
+    """Shared build: checkpoint -> args override -> model/params/opt."""
+    checkpoint_dir = pathlib.Path(args.model_dir)
+    clean_training = args.mode == "train" and args.retrain
+
+    checkpoint = Checkpoint(None)
+    if not clean_training:
+        checkpoint = Checkpoint.load(checkpoint_dir)
+    if checkpoint.is_valid() or checkpoint._meta:
+        args = checkpoint.restore_args(args)
+
+    model = build_model(args.model_type, use_coords=args.use_coords,
+                        dtype=DTYPES[args.dtype],
+                        depth=getattr(args, "model_depth", 8),
+                        num_filters=getattr(args, "num_filters", 64))
+
+    root_key = jax.random.key(args.seed)
+    params = _init_params(model, args, jax.random.fold_in(root_key, 0))
+    if checkpoint.is_valid():
+        params = checkpoint.restore_params(params)
+    elif args.mode == "test":
+        raise SystemExit("No model found in the model directory but it is "
+                         "required for testing.")
+
+    optimizer = optax.adam(args.learning_rate)
+    opt_state = optimizer.init(params)
+    if checkpoint.is_valid():
+        opt_state = checkpoint.restore_opt_state(opt_state)
+
+    epoch_start = checkpoint.restore_epoch(0) if checkpoint.is_valid() else 0
+    checkpoint.purge()
+
+    if mesh is not None:
+        repl = mesh_lib.replicated_sharding(mesh)
+        params = jax.device_put(params, repl)
+        opt_state = jax.device_put(opt_state, repl)
+
+    return args, model, params, optimizer, opt_state, epoch_start, root_key
+
+
+def run_training(args) -> float:
+    n_dev = args.num_devices if args.num_devices > 0 else None
+    mesh = make_mesh(n_devices=n_dev)
+    print(f"Using mesh {mesh} on {jax.default_backend()}")
+
+    (args, model, params, optimizer, opt_state, epoch_start,
+     root_key) = setup(args, mesh)
+
+    data = _build_dataset(args, "train")
+    train_idx, val_idx = split_train_validation(len(data), 0.01, args.seed)
+    print(f"Training samples: {len(train_idx)}.")
+    print(f"Validation samples: {len(val_idx)}.")
+
+    prep = _prep_config(args, data)
+    loss_fn = losses_lib.make_loss_fn(_loss_kind(args.loss), args.renderer)
+    train_step = make_train_step(model, optimizer, loss_fn, prep, mesh)
+    eval_step = make_eval_step(model, loss_fn, prep, mesh)
+    print(f"Using renderer '{args.renderer}'")
+
+    checkpoint_dir = pathlib.Path(args.model_dir)
+    stats_dir = checkpoint_dir / "logs"
+    if args.retrain and stats_dir.exists():
+        shutil.rmtree(stats_dir)  # reference main.py:93-95
+    writer = SummaryWriter(str(stats_dir))
+
+    batch_size = args.batch_size
+    batch_count = max(1, int(math.ceil(len(train_idx) / batch_size)))
+    last_loss = float("nan")
+
+    def save(epoch):
+        Checkpoint.save(checkpoint_dir, params, opt_state, epoch,
+                        args.model_type, args.use_coords,
+                        args.omit_optimizer_state_save,
+                        extra_meta={
+                            "model_depth": getattr(args, "model_depth", 8),
+                            "num_filters": getattr(args, "num_filters", 64),
+                        })
+
+    print(f"Training from epoch {epoch_start} to {args.epochs}")
+    step_times = []
+    for epoch in range(epoch_start, args.epochs):
+        order = np.array(train_idx)
+        data._host_rng.shuffle(order)
+        for i in range(batch_count):
+            idx = order[i * batch_size:(i + 1) * batch_size]
+            if len(idx) == 0:
+                continue
+            raw = data.raw_batch(idx)
+            batch_index = epoch * batch_count + i
+            key = jax.random.fold_in(root_key, batch_index + 1)
+
+            t0 = time.perf_counter()
+            params, opt_state, loss = train_step(params, opt_state, raw, key)
+            loss = float(loss)
+            step_times.append(time.perf_counter() - t0)
+
+            if not math.isfinite(loss):
+                # NaN guard: the reference documents rendering-loss NaN
+                # collapses (docs/index.html:1255-1259) but does not handle
+                # them; we stop the run with a clear message.
+                save(epoch)
+                writer.close()
+                raise FloatingPointError(
+                    f"non-finite loss at epoch {epoch}, batch {i}")
+
+            print(f"Epoch {epoch}, Batch {i + 1}, loss: {loss:f}")
+            writer.add_scalar("loss", loss, batch_index)
+            last_loss = loss
+
+        if epoch % args.save_frequency == 0:
+            save(epoch)
+
+        if (epoch % args.validation_frequency == 0 and len(val_idx) > 0):
+            val_losses = []
+            for lo in range(0, len(val_idx), batch_size):
+                vidx = val_idx[lo:lo + batch_size]
+                raw = data.raw_batch(vidx)
+                key = jax.random.fold_in(root_key, -(epoch + 1))
+                val_losses.append(float(eval_step(params, raw, key)))
+            val_loss = float(np.mean(val_losses))
+            print(f"Epoch {epoch}, validation loss: {val_loss:f}")
+            writer.add_scalar("val_loss", val_loss, epoch * batch_count)
+
+    save(args.epochs - 1 if args.epochs > epoch_start else epoch_start)
+    writer.close()
+
+    if step_times:
+        steady = step_times[1:] or step_times
+        print(f"mean step time: {np.mean(steady) * 1e3:.2f} ms "
+              f"(first {step_times[0] * 1e3:.1f} ms incl. compile)")
+    return last_loss
+
+
+def run_test(args, out_dir: Optional[str] = None) -> list:
+    """Predict SVBRDFs for every sample and save comparison grids.
+
+    Reference main.py:167-223 shows a matplotlib figure; headless here:
+    grids are written to <model_dir>/test_outputs (or out_dir).
+    """
+    (args, model, params, _optimizer, _opt_state, _epoch,
+     root_key) = setup(args, None)
+
+    data = _build_dataset(args, "test")
+    predict = make_predict_fn(model)
+
+    out = pathlib.Path(out_dir or (pathlib.Path(args.model_dir)
+                                   / "test_outputs"))
+    out.mkdir(parents=True, exist_ok=True)
+
+    from svbrdf_tpu import viz
+
+    written = []
+    for i in range(len(data)):
+        sample = data[i]
+        inputs = jnp.asarray(sample["inputs"])[None]
+        pred = np.asarray(predict(params, inputs))[0]
+        path = out / f"sample_{i:04d}.png"
+        viz.save_comparison_grid(str(path), np.asarray(sample["inputs"][0]),
+                                 sample["svbrdf"], pred)
+        written.append(str(path))
+        print(f"wrote {path}")
+    return written

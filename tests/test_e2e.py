@@ -1,0 +1,74 @@
+"""End-to-end toy training: `train.sh` parity on the bundled toy dataset
+(SURVEY.md §7 'minimum end-to-end slice') at reduced depth/size for CI
+speed, plus checkpoint-resume and test-mode output generation."""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from svbrdf_tpu.cli import parse_args
+from svbrdf_tpu.training import loop
+
+
+def _args(toy_data_dir, model_dir, extra=()):
+    base = [
+        "--mode", "train",
+        "--input-dir", str(toy_data_dir / "train"),
+        "--image-count", "10",
+        "--used-image-count", "1",
+        "--image-size", "32",
+        "--model-depth", "5",
+        "--num-filters", "8",
+        "--batch-size", "2",
+        "--epochs", "2",
+        "--save-frequency", "1",
+        "--validation-frequency", "1",
+        "--model-dir", str(model_dir),
+        "--retrain",
+    ]
+    return parse_args(base + list(extra))
+
+
+@pytest.mark.slow
+def test_toy_train_resume_and_test(tmp_path, toy_data_dir):
+    model_dir = tmp_path / "model"
+
+    # --- fresh training ---
+    args = _args(toy_data_dir, model_dir)
+    loss = loop.run_training(args)
+    assert np.isfinite(loss)
+    assert (model_dir / "state").exists()
+    assert any((model_dir / "logs").iterdir())
+
+    # --- resume: epoch restored from checkpoint, one more epoch ---
+    args2 = _args(toy_data_dir, model_dir)
+    args2.retrain = False
+    args2.epochs = 3
+    loss2 = loop.run_training(args2)
+    assert np.isfinite(loss2)
+
+    # --- test mode on the toy test split ---
+    targs = parse_args([
+        "--mode", "test",
+        "--input-dir", str(toy_data_dir / "test"),
+        "--image-count", "10",
+        "--used-image-count", "1",
+        "--image-size", "32",
+        "--model-depth", "5",
+        "--num-filters", "8",
+        "--model-dir", str(model_dir),
+    ])
+    written = loop.run_test(targs)
+    assert len(written) == 1
+    assert pathlib.Path(written[0]).exists()
+
+
+@pytest.mark.slow
+def test_l1_loss_training_runs(tmp_path, toy_data_dir):
+    """Config-1 path: pure L1 objective trains without the renderer."""
+    model_dir = tmp_path / "model_l1"
+    args = _args(toy_data_dir, model_dir,
+                 extra=["--loss", "l1", "--learning-rate", "1e-3"])
+    loss = loop.run_training(args)
+    assert np.isfinite(loss)

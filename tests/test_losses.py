@@ -1,0 +1,86 @@
+"""Loss tests: L1 loss parity vs the reference, rendering-loss behavior,
+mixed-loss composition."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svbrdf_tpu import losses
+from tests.test_render import random_svbrdf
+
+
+def test_svbrdf_l1_matches_reference(reference_modules):
+    import torch
+
+    ref_losses = reference_modules["losses"]
+    rng = np.random.default_rng(0)
+    a = random_svbrdf(rng, 8, 8, batch=(2,))
+    b = random_svbrdf(rng, 8, 8, batch=(2,))
+
+    ours = float(losses.svbrdf_l1_loss(jnp.asarray(a), jnp.asarray(b)))
+    theirs = float(ref_losses.SVBRDFL1Loss()(
+        torch.from_numpy(a).permute(0, 3, 1, 2),
+        torch.from_numpy(b).permute(0, 3, 1, 2)))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5)
+
+
+def test_l1_zero_on_identical():
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(random_svbrdf(rng, 8, 8, batch=(2,)))
+    assert float(losses.svbrdf_l1_loss(a, a)) == 0.0
+
+
+def test_rendering_loss_zero_on_identical():
+    rng = np.random.default_rng(2)
+    a = jnp.asarray(random_svbrdf(rng, 8, 8, batch=(2,)))
+    loss = losses.rendering_loss(a, a, jax.random.key(0))
+    assert float(loss) == 0.0
+
+
+def test_rendering_loss_positive_and_finite():
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(random_svbrdf(rng, 16, 16, batch=(2,)))
+    b = jnp.asarray(random_svbrdf(rng, 16, 16, batch=(2,)))
+    loss = losses.rendering_loss(a, b, jax.random.key(1))
+    assert np.isfinite(float(loss)) and float(loss) > 0.0
+
+
+def test_rendering_loss_deterministic_by_key():
+    rng = np.random.default_rng(4)
+    a = jnp.asarray(random_svbrdf(rng, 8, 8, batch=(1,)))
+    b = jnp.asarray(random_svbrdf(rng, 8, 8, batch=(1,)))
+    l1 = float(losses.rendering_loss(a, b, jax.random.key(7)))
+    l2 = float(losses.rendering_loss(a, b, jax.random.key(7)))
+    l3 = float(losses.rendering_loss(a, b, jax.random.key(8)))
+    assert l1 == l2
+    assert l1 != l3
+
+
+def test_mixed_loss_composition():
+    rng = np.random.default_rng(5)
+    a = jnp.asarray(random_svbrdf(rng, 8, 8, batch=(2,)))
+    b = jnp.asarray(random_svbrdf(rng, 8, 8, batch=(2,)))
+    key = jax.random.key(2)
+    mixed = float(losses.mixed_loss(a, b, key))
+    expected = (0.1 * float(losses.svbrdf_l1_loss(a, b))
+                + float(losses.rendering_loss(a, b, key)))
+    np.testing.assert_allclose(mixed, expected, rtol=1e-6)
+
+
+def test_losses_differentiable():
+    rng = np.random.default_rng(6)
+    a = jnp.asarray(random_svbrdf(rng, 8, 8, batch=(1,)))
+    b = jnp.asarray(random_svbrdf(rng, 8, 8, batch=(1,)))
+    g = jax.grad(lambda x: losses.mixed_loss(x, b, jax.random.key(3)))(a)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    assert float(jnp.max(jnp.abs(g))) > 0.0
+
+
+def test_make_loss_fn_variants():
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(random_svbrdf(rng, 8, 8, batch=(1,)))
+    b = jnp.asarray(random_svbrdf(rng, 8, 8, batch=(1,)))
+    key = jax.random.key(4)
+    for kind in ("l1", "rendering", "mixed"):
+        fn = losses.make_loss_fn(kind, "local")
+        assert np.isfinite(float(fn(a, b, key)))
