@@ -20,6 +20,8 @@ BASELINE_STEP_MS = 18000.0  # reference: ~1 h/epoch at ~197 steps/epoch
 
 
 def main():
+    import os
+
     import optax
 
     from svbrdf_tpu import losses
@@ -28,8 +30,10 @@ def main():
     from svbrdf_tpu.parallel.step import PrepConfig, make_train_step
 
     batch, size = 8, 256
+    dtype = jnp.bfloat16 if os.environ.get(
+        "BENCH_DTYPE", "bfloat16") == "bfloat16" else jnp.float32
     mesh = make_mesh()
-    model = SingleViewModel(use_coords=False)
+    model = SingleViewModel(use_coords=False, dtype=dtype)
     optimizer = optax.adam(1e-5)
     loss_fn = losses.make_loss_fn("mixed", "local")
     prep = PrepConfig(used_input_image_count=1, use_augmentation=True,
@@ -58,18 +62,19 @@ def main():
     params = jax.device_put(params, repl)
     opt_state = jax.device_put(opt_state, repl)
 
-    # Warm-up (compile) + 2 steps.
+    # Warm-up (compile) + 2 steps. Block on EVERY output — blocking only on
+    # the loss under-measures through the remote execution layer.
     for i in range(3):
         params, opt_state, loss = step(params, opt_state, raw,
                                        jax.random.fold_in(key, i))
-    jax.block_until_ready(loss)
+    jax.block_until_ready((params, opt_state, loss))
 
     times = []
     for i in range(10):
         t0 = time.perf_counter()
         params, opt_state, loss = step(params, opt_state, raw,
                                        jax.random.fold_in(key, 100 + i))
-        jax.block_until_ready(loss)
+        jax.block_until_ready((params, opt_state, loss))
         times.append(time.perf_counter() - t0)
 
     step_ms = float(np.median(times) * 1e3)

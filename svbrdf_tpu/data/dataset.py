@@ -30,7 +30,8 @@ class SvbrdfDataset:
                  use_augmentation: bool = True,
                  mix_materials: bool = False, no_svbrdf: bool = False,
                  is_linear: bool = False, random_crop: bool = False,
-                 seed: int = 313):
+                 seed: int = 313, use_native_prefetch: bool = True,
+                 prefetch_threads: int = 2):
         self.data_directory = data_directory
         self.file_paths: List[str] = strips.list_sample_files(data_directory)
         self.image_size = image_size
@@ -51,6 +52,22 @@ class SvbrdfDataset:
         self._host_rng = np.random.default_rng(seed)
         self._key = jax.random.key(seed)
 
+        # Native libpng decode pool: big datasets (the 80 GB single-view
+        # corpus) stream through background threads instead of stalling the
+        # training loop on host PNG decode (the reference pays this cost in
+        # DataLoader workers; SURVEY.md §3.3).
+        self._pool = None
+        if use_native_prefetch and self.file_paths:
+            try:
+                from svbrdf_tpu.data import native_loader
+
+                if native_loader.native_available():
+                    self._pool = native_loader.PrefetchPool(
+                        self.file_paths, n_threads=prefetch_threads,
+                        capacity=max(32, prefetch_threads * 8))
+            except Exception:
+                self._pool = None
+
     def __len__(self) -> int:
         return len(self.file_paths)
 
@@ -64,10 +81,21 @@ class SvbrdfDataset:
                     int(self._host_rng.integers(0, w - self.image_size + 1)))
         return (0, 0)
 
+    def prefetch(self, indices) -> None:
+        """Hint the decode pool about upcoming samples (no-op without it)."""
+        if self._pool is not None:
+            for i in indices:
+                self._pool.request(int(i))
+
+    def _read_strip(self, idx: int) -> np.ndarray:
+        if self._pool is not None:
+            return self._pool.take(idx).astype(np.float32) / 255.0
+        return strips.read_image(self.file_paths[idx])
+
     def load_scaled(self, idx: int):
         """Host: strip -> scaled (inputs (N_read, s, s, 3), svbrdf (s, s, 12))."""
-        inputs, svbrdf = strips.load_sample(
-            self.file_paths[idx], self.input_image_count,
+        inputs, svbrdf = strips.decode_sample(
+            self._read_strip(idx), self.input_image_count,
             self.used_input_image_count, self.no_svbrdf)
         anchor = self._crop_anchor(svbrdf.shape[0], svbrdf.shape[1])
         if inputs.shape[0] == 0:
@@ -131,10 +159,12 @@ class SvbrdfDataset:
         order = np.arange(len(self))
         if shuffle:
             self._host_rng.shuffle(order)
+        self.prefetch(order[:batch_size])
         for lo in range(0, len(order), batch_size):
             idx = order[lo:lo + batch_size]
             if drop_remainder and len(idx) < batch_size:
                 return
+            self.prefetch(order[lo + batch_size:lo + 2 * batch_size])
             yield self.raw_batch(idx)
 
 

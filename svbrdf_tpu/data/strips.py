@@ -90,15 +90,22 @@ def decode_strip(strip: np.ndarray, input_image_count: int,
     return inputs.astype(np.float32), svbrdf.astype(np.float32)
 
 
-def load_sample(path: str, input_image_count: int,
-                used_input_image_count: int, no_svbrdf: bool = False
-                ) -> Tuple[np.ndarray, np.ndarray]:
-    """Read a strip file; keep only the LAST min(input, used) photographs.
+def decode_sample(strip: np.ndarray, input_image_count: int,
+                  used_input_image_count: int, no_svbrdf: bool = False
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode a loaded strip; keep only the LAST min(input, used) photos.
 
     The last-n (not first-n) selection mirrors reference dataset.py:136-138.
     """
-    inputs, svbrdf = decode_strip(read_image(path), input_image_count,
-                                  no_svbrdf)
+    inputs, svbrdf = decode_strip(strip, input_image_count, no_svbrdf)
     n_read = min(input_image_count, used_input_image_count)
     lo = input_image_count - n_read
     return inputs[lo:input_image_count], svbrdf
+
+
+def load_sample(path: str, input_image_count: int,
+                used_input_image_count: int, no_svbrdf: bool = False
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Read + decode a strip file (see decode_sample)."""
+    return decode_sample(read_image(path), input_image_count,
+                         used_input_image_count, no_svbrdf)

@@ -85,26 +85,47 @@ def mixed_loss(pred: jnp.ndarray, target: jnp.ndarray, key,
                              n_random=n_random, n_specular=n_specular))
 
 
+def rendering_loss_fused(pred: jnp.ndarray, target: jnp.ndarray, key,
+                         n_random: int = 3, n_specular: int = 6,
+                         tile_h: int = 16) -> jnp.ndarray:
+    """Pallas-fused rendering loss (see ops/render_pallas.py): identical
+    value/grads to `rendering_loss` with the local renderer, but shades and
+    reduces per VMEM tile instead of materializing (B, S, H, W, 3) renders."""
+    from svbrdf_tpu.ops import render_pallas
+
+    scenes = sampling.generate_loss_scenes(key, pred.shape[0],
+                                           n_random, n_specular)
+    return render_pallas.rendering_loss_fused(pred, target, scenes, tile_h)
+
+
 def make_loss_fn(kind: str = "mixed", renderer: str = "local",
-                 l1_weight: float = 0.1):
+                 l1_weight: float = 0.1, fused: bool = False):
     """Build a loss fn (pred, target, key) -> scalar by name.
 
     kind in {"l1", "rendering", "mixed"}; renderer in {"local",
     "pathtracing"} selects the in-network renderer vs the JAX path tracer
-    (reference main.py:83-89 renderer selection).
+    (reference main.py:83-89 renderer selection). fused=True uses the
+    Pallas tile-fused rendering loss (local renderer only).
     """
     if renderer == "local":
         render_fn = render.render
     elif renderer == "pathtracing":
         from svbrdf_tpu.ops import pathtrace
         render_fn = pathtrace.make_render_fn()
+        fused = False
     else:
         raise ValueError(f"unknown renderer '{renderer}'")
 
     if kind == "l1":
         return lambda pred, target, key: svbrdf_l1_loss(pred, target)
     if kind == "rendering":
+        if fused:
+            return rendering_loss_fused
         return partial(rendering_loss, render_fn=render_fn)
     if kind == "mixed":
+        if fused:
+            return lambda pred, target, key: (
+                l1_weight * svbrdf_l1_loss(pred, target)
+                + rendering_loss_fused(pred, target, key))
         return partial(mixed_loss, render_fn=render_fn, l1_weight=l1_weight)
     raise ValueError(f"unknown loss kind '{kind}'")

@@ -17,7 +17,6 @@ from __future__ import annotations
 import math
 import pathlib
 import shutil
-import time
 from typing import Optional
 
 import jax
@@ -127,7 +126,9 @@ def run_training(args) -> float:
     print(f"Validation samples: {len(val_idx)}.")
 
     prep = _prep_config(args, data)
-    loss_fn = losses_lib.make_loss_fn(_loss_kind(args.loss), args.renderer)
+    loss_fn = losses_lib.make_loss_fn(_loss_kind(args.loss), args.renderer,
+                                      fused=getattr(args, "fused_loss",
+                                                    False))
     train_step = make_train_step(model, optimizer, loss_fn, prep, mesh)
     eval_step = make_eval_step(model, loss_fn, prep, mesh)
     print(f"Using renderer '{args.renderer}'")
@@ -152,22 +153,41 @@ def run_training(args) -> float:
                         })
 
     print(f"Training from epoch {epoch_start} to {args.epochs}")
-    step_times = []
+    from svbrdf_tpu.utils.profiling import StepTimer
+
+    timer = StepTimer(warmup=1)
+    profile_dir = getattr(args, "profile_dir", None)
+    profiling = False
     for epoch in range(epoch_start, args.epochs):
         order = np.array(train_idx)
         data._host_rng.shuffle(order)
+        data.prefetch(order[:batch_size])
         for i in range(batch_count):
             idx = order[i * batch_size:(i + 1) * batch_size]
             if len(idx) == 0:
                 continue
+            # Decode the NEXT batch on background threads while the device
+            # runs this step.
+            data.prefetch(
+                order[(i + 1) * batch_size:(i + 2) * batch_size])
             raw = data.raw_batch(idx)
             batch_index = epoch * batch_count + i
             key = jax.random.fold_in(root_key, batch_index + 1)
 
-            t0 = time.perf_counter()
-            params, opt_state, loss = train_step(params, opt_state, raw, key)
-            loss = float(loss)
-            step_times.append(time.perf_counter() - t0)
+            # Profile a small window of steady-state steps (post-compile).
+            if profile_dir and batch_index == 1 and not profiling:
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
+
+            with timer.measure():
+                params, opt_state, loss = train_step(params, opt_state, raw,
+                                                     key)
+                loss = float(loss)
+
+            if profiling and batch_index >= 4:
+                jax.profiler.stop_trace()
+                profiling = False
+                profile_dir = None
 
             if not math.isfinite(loss):
                 # NaN guard: the reference documents rendering-loss NaN
@@ -197,12 +217,12 @@ def run_training(args) -> float:
             writer.add_scalar("val_loss", val_loss, epoch * batch_count)
 
     save(args.epochs - 1 if args.epochs > epoch_start else epoch_start)
+    if profiling:
+        jax.profiler.stop_trace()
     writer.close()
 
-    if step_times:
-        steady = step_times[1:] or step_times
-        print(f"mean step time: {np.mean(steady) * 1e3:.2f} ms "
-              f"(first {step_times[0] * 1e3:.1f} ms incl. compile)")
+    if timer.count:
+        print(timer.summary())
     return last_loss
 
 

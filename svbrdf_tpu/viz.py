@@ -121,6 +121,59 @@ def warp_perspective(image: np.ndarray, H: np.ndarray,
     return out.reshape(out_h, out_w, *image.shape[2:]).astype(image.dtype)
 
 
+def turntable_frames(svbrdf: np.ndarray, n_frames: int = 60,
+                     elevation: float = 2.0, radius: float = 1.5,
+                     light_color=(30.0, 30.0, 30.0),
+                     sensor_size=(384, 384), render_fn=None) -> list:
+    """Orbit a camera+light around the patch; perspective-warped frames.
+
+    Host-side equivalent of the reference's turntable animations
+    (presentations/final/final-viz.ipynb). Returns a list of (H, W, 3)
+    float images in [0, 1].
+    """
+    import jax.numpy as jnp
+
+    from svbrdf_tpu.ops import render as render_mod
+    from svbrdf_tpu.scene import Scene
+
+    render_fn = render_fn or render_mod.render
+    frames = []
+    for i in range(n_frames):
+        angle = 2.0 * np.pi * i / n_frames
+        cam = [radius * np.cos(angle), radius * np.sin(angle), elevation]
+        light = [radius * np.cos(angle + 0.5),
+                 radius * np.sin(angle + 0.5), elevation + 0.5]
+        scene = Scene.make(cam, light, light_color)
+        radiance = np.asarray(render_fn(scene, jnp.asarray(svbrdf)))
+        image = np.clip(radiance, 0.0, 1.0) ** (1.0 / 2.2)
+        mapping = OrthoToPerspectiveMapping(cam, sensor_size)
+        frames.append(mapping.apply(image.astype(np.float32)))
+    return frames
+
+
+def save_animation(path: str, frames, fps: int = 15) -> None:
+    """Write frames ([0,1] float HWC) as an animated GIF via PIL.
+
+    Replaces the reference's ffmpeg montage script
+    (development/scripts/generate_training_video.bat).
+    """
+    from PIL import Image
+
+    imgs = [Image.fromarray(np.uint8(np.clip(f, 0, 1) * 255))
+            for f in frames]
+    imgs[0].save(path, save_all=True, append_images=imgs[1:],
+                 duration=max(1, int(1000 / fps)), loop=0)
+
+
+def make_training_video(image_paths, out_path: str, fps: int = 10) -> None:
+    """Animate per-epoch prediction snapshots into a GIF."""
+    from PIL import Image
+
+    frames = [np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0
+              for p in image_paths]
+    save_animation(out_path, frames, fps)
+
+
 class OrthoToPerspectiveMapping:
     """Map an orthographic patch rendering into a perspective camera view.
 

@@ -24,6 +24,10 @@ for _mod in [m for m in list(sys.modules) if "axon" in m.lower()]:
 # jax.config — the env var is not picked up.)
 import jax  # noqa: E402
 
+# jax may already be imported by a pytest plugin before this conftest runs,
+# in which case the JAX_PLATFORMS env var set above is too late — force the
+# platform through the config (valid until backends initialize).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

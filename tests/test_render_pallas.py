@@ -1,0 +1,71 @@
+"""Fused Pallas rendering-loss kernel vs the jnp composition: identical
+values and gradients (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svbrdf_tpu import losses
+from svbrdf_tpu.ops import render, render_pallas, sampling
+from tests.test_render import random_svbrdf
+
+
+def _jnp_loss(pred, target, scenes):
+    pred_r = render.render_scene_set(scenes, pred)
+    target_r = render.render_scene_set(scenes, target)
+    return losses.l1_loss(jnp.log(pred_r + 0.1), jnp.log(target_r + 0.1))
+
+
+@pytest.fixture(scope="module")
+def case():
+    rng = np.random.default_rng(0)
+    pred = jnp.asarray(random_svbrdf(rng, 16, 16, batch=(2,)))
+    target = jnp.asarray(random_svbrdf(rng, 16, 16, batch=(2,)))
+    scenes = sampling.generate_loss_scenes(jax.random.key(0), 2, 2, 2)
+    return pred, target, scenes
+
+
+def test_forward_matches_jnp(case):
+    pred, target, scenes = case
+    fused = render_pallas.rendering_loss_fused(pred, target, scenes,
+                                               tile_h=8)
+    reference = _jnp_loss(pred, target, scenes)
+    np.testing.assert_allclose(float(fused), float(reference), rtol=1e-5)
+
+
+def test_gradients_match_jnp(case):
+    pred, target, scenes = case
+    g_fused = jax.grad(
+        lambda p: render_pallas.rendering_loss_fused(p, target, scenes,
+                                                     tile_h=8))(pred)
+    g_ref = jax.grad(lambda p: _jnp_loss(p, target, scenes))(pred)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=2e-4, atol=1e-6)
+
+
+def test_gradient_wrt_target_too(case):
+    pred, target, scenes = case
+    g_fused = jax.grad(
+        lambda t: render_pallas.rendering_loss_fused(pred, t, scenes,
+                                                     tile_h=8))(target)
+    g_ref = jax.grad(lambda t: _jnp_loss(pred, t, scenes))(target)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=2e-4, atol=1e-6)
+
+
+def test_loss_fn_fused_variant(case):
+    pred, target, _ = case
+    fn = losses.make_loss_fn("mixed", "local", fused=True)
+    ref = losses.make_loss_fn("mixed", "local", fused=False)
+    key = jax.random.key(3)
+    np.testing.assert_allclose(float(fn(pred, target, key)),
+                               float(ref(pred, target, key)), rtol=1e-5)
+
+
+def test_zero_on_identical(case):
+    pred, _, scenes = case
+    fused = render_pallas.rendering_loss_fused(pred, pred, scenes, tile_h=8)
+    # not exactly 0.0: the partial-sum tile spreads total/1024 across an
+    # (8, 128) output tile, which rounds in f32
+    assert abs(float(fused)) < 1e-6
