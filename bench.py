@@ -62,22 +62,25 @@ def main():
     params = jax.device_put(params, repl)
     opt_state = jax.device_put(opt_state, repl)
 
-    # Warm-up (compile) + 2 steps. Block on EVERY output — blocking only on
-    # the loss under-measures through the remote execution layer.
+    # Warm-up (compile), then time a 50-step chain ended by a HOST FETCH of
+    # the final loss: the fetch transitively forces every step (the remote
+    # execution layer's block_until_ready returns early, so per-step
+    # blocking under-measures by orders of magnitude).
     for i in range(3):
         params, opt_state, loss = step(params, opt_state, raw,
                                        jax.random.fold_in(key, i))
-    jax.block_until_ready((params, opt_state, loss))
+    float(loss)
 
-    times = []
-    for i in range(10):
-        t0 = time.perf_counter()
+    n_steps = 50
+    t0 = time.perf_counter()
+    for i in range(n_steps):
         params, opt_state, loss = step(params, opt_state, raw,
                                        jax.random.fold_in(key, 100 + i))
-        jax.block_until_ready((params, opt_state, loss))
-        times.append(time.perf_counter() - t0)
+    final_loss = float(loss)  # barrier
+    elapsed = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
 
-    step_ms = float(np.median(times) * 1e3)
+    step_ms = float(elapsed / n_steps * 1e3)
     print(json.dumps({
         "metric": "mixed_rendering_loss_train_step_b8_256",
         "value": round(step_ms, 3),

@@ -112,9 +112,17 @@ def setup(args, mesh=None):
     return args, model, params, optimizer, opt_state, epoch_start, root_key
 
 
+def _mesh_size_for_batch(batch_size: int, n_available: int) -> int:
+    """Largest divisor of batch_size that fits the available devices
+    (batches shard evenly across the data axis)."""
+    return max(d for d in range(1, n_available + 1) if batch_size % d == 0)
+
+
 def run_training(args) -> float:
-    n_dev = args.num_devices if args.num_devices > 0 else None
-    mesh = make_mesh(n_devices=n_dev)
+    n_avail = (args.num_devices if args.num_devices > 0
+               else len(jax.devices()))
+    mesh = make_mesh(n_devices=_mesh_size_for_batch(args.batch_size,
+                                                    n_avail))
     print(f"Using mesh {mesh} on {jax.default_backend()}")
 
     (args, model, params, optimizer, opt_state, epoch_start,
@@ -166,6 +174,10 @@ def run_training(args) -> float:
             idx = order[i * batch_size:(i + 1) * batch_size]
             if len(idx) == 0:
                 continue
+            if len(idx) < batch_size:
+                # Pad the final batch to a full, evenly-shardable batch
+                # (static shapes; wraps around).
+                idx = np.resize(idx, batch_size)
             # Decode the NEXT batch on background threads while the device
             # runs this step.
             data.prefetch(
@@ -209,6 +221,8 @@ def run_training(args) -> float:
             val_losses = []
             for lo in range(0, len(val_idx), batch_size):
                 vidx = val_idx[lo:lo + batch_size]
+                if len(vidx) < batch_size:
+                    vidx = np.resize(vidx, batch_size)
                 raw = data.raw_batch(vidx)
                 key = jax.random.fold_in(root_key, -(epoch + 1))
                 val_losses.append(float(eval_step(params, raw, key)))

@@ -65,6 +65,22 @@ def test_toy_train_resume_and_test(tmp_path, toy_data_dir):
 
 
 @pytest.mark.slow
+def test_multiview_training_runs(tmp_path, toy_data_dir):
+    """Config-3 path: multi-view model (3 views) with the mixed loss."""
+    model_dir = tmp_path / "model_multi"
+    args = _args(toy_data_dir, model_dir,
+                 extra=["--model-type", "multi", "--used-image-count", "3",
+                        "--epochs", "1"])
+    loss = loop.run_training(args)
+    assert np.isfinite(loss)
+    # checkpoint meta records the model type for restore-args override
+    import json
+
+    meta = json.loads((model_dir / "meta.json").read_text())
+    assert meta["model_type"] == "multi"
+
+
+@pytest.mark.slow
 def test_l1_loss_training_runs(tmp_path, toy_data_dir):
     """Config-1 path: pure L1 objective trains without the renderer."""
     model_dir = tmp_path / "model_l1"
