@@ -74,10 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
     # --- TPU-native extensions ---
     p.add_argument("--loss", dest="loss", choices=["mixed", "l1", "render"],
                    default="mixed", help="Training objective.")
-    p.add_argument("--fused-loss", dest="fused_loss", action="store_true",
-                   default=False,
-                   help="Use the Pallas tile-fused rendering loss "
-                        "(local renderer only).")
+    p.add_argument("--fused-loss", dest="fused_loss",
+                   action=argparse.BooleanOptionalAction, default=None,
+                   help="Pallas tile-fused rendering loss (local renderer "
+                        "only). Default: auto — on for TPU backends.")
     p.add_argument("--batch-size", dest="batch_size", type=int, default=8,
                    help="Global batch size (split across the device mesh).")
     p.add_argument("--learning-rate", dest="learning_rate", type=float,

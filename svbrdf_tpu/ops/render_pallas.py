@@ -121,48 +121,75 @@ def _shade_planes(planes, cam, light, color, x, y):
     return out
 
 
-def _tile_loss_sum(pred_tile, gt_tile, scene_vecs, row0, height, width):
-    """Sum over S scenes and the tile of |log-diff|; scenes unrolled."""
+def _patch_xy(tile_shape, row0, height, width):
     # TPU iota must be integer-typed; cast after.
-    col = jax.lax.broadcasted_iota(
-        jnp.int32, pred_tile.shape[1:], 1).astype(jnp.float32)
-    row = jax.lax.broadcasted_iota(
-        jnp.int32, pred_tile.shape[1:], 0).astype(jnp.float32) + row0
+    col = jax.lax.broadcasted_iota(jnp.int32, tile_shape, 1).astype(
+        jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, tile_shape, 0).astype(
+        jnp.float32) + row0
     x = -1.0 + 2.0 * col / (width - 1)
     y = 1.0 - 2.0 * row / (height - 1)
+    return x, y
 
+
+def _scene_loss_sum(pred_tile, gt_tile, scene_vec, x, y):
+    """|log-diff| sum over one tile under ONE scene (9 scalars)."""
+    cam = scene_vec[0:3]
+    light = scene_vec[3:6]
+    color = scene_vec[6:9]
+    rp = _shade_planes(pred_tile, cam, light, color, x, y)
+    rt = _shade_planes(gt_tile, cam, light, color, x, y)
     total = jnp.zeros((), jnp.float32)
-    n_scenes = scene_vecs.shape[0]
-    for s in range(n_scenes):  # static unroll; S is small (9)
-        cam = [scene_vecs[s, k] for k in range(3)]
-        light = [scene_vecs[s, k] for k in range(3, 6)]
-        color = [scene_vecs[s, k] for k in range(6, 9)]
-        rp = _shade_planes(pred_tile, cam, light, color, x, y)
-        rt = _shade_planes(gt_tile, cam, light, color, x, y)
-        for c in range(3):
-            diff = (jnp.log(rp[c] + EPSILON_RENDER)
-                    - jnp.log(rt[c] + EPSILON_RENDER))
-            total = total + jnp.sum(jnp.abs(diff))
+    for c in range(3):
+        diff = (jnp.log(rp[c] + EPSILON_RENDER)
+                - jnp.log(rt[c] + EPSILON_RENDER))
+        total = total + jnp.sum(jnp.abs(diff))
     return total
 
 
+def _read_scene(scene_ref, s):
+    """Read one scene's 9 scalars from SMEM at a dynamic index."""
+    return [scene_ref[0, s, k] for k in range(9)]
+
+
 def _fwd_kernel(scene_ref, pred_ref, gt_ref, out_ref, *, tile_h, height,
-                width):
+                width, n_scenes):
     row0 = pl.program_id(1) * tile_h
-    total = _tile_loss_sum(pred_ref[0], gt_ref[0], scene_ref[0],
-                           row0, height, width)
+    pred_tile = pred_ref[0]
+    gt_tile = gt_ref[0]
+    x, y = _patch_xy(pred_tile.shape[1:], row0, height, width)
+
+    # fori_loop keeps the kernel body compact — fully unrolling S scenes
+    # overwhelmed the TPU compiler.
+    def body(s, acc):
+        return acc + _scene_loss_sum(pred_tile, gt_tile,
+                                     _read_scene(scene_ref, s), x, y)
+
+    total = jax.lax.fori_loop(0, n_scenes, body, jnp.zeros((), jnp.float32))
     # Output is an (8, 128) VMEM tile per program (minimum f32 tile);
     # spread the partial sum so a global jnp.sum recovers it.
     out_ref[0] = jnp.full((8, 128), total / (8.0 * 128.0), jnp.float32)
 
 
 def _bwd_kernel(scene_ref, pred_ref, gt_ref, g_ref, dpred_ref, dgt_ref, *,
-                tile_h, height, width):
+                tile_h, height, width, n_scenes):
     row0 = pl.program_id(1) * tile_h
-    grad_fn = jax.grad(
-        lambda p, t: _tile_loss_sum(p, t, scene_ref[0], row0, height,
-                                    width), argnums=(0, 1))
-    dp, dt = grad_fn(pred_ref[0], gt_ref[0])
+    pred_tile = pred_ref[0]
+    gt_tile = gt_ref[0]
+    x, y = _patch_xy(pred_tile.shape[1:], row0, height, width)
+
+    # The loss is a SUM over scenes, so its gradient is the sum of
+    # per-scene gradients — accumulate them in a fori_loop (no reverse
+    # differentiation through the loop needed).
+    def body(s, acc):
+        dp_acc, dt_acc = acc
+        dp, dt = jax.grad(_scene_loss_sum, argnums=(0, 1))(
+            pred_tile, gt_tile, _read_scene(scene_ref, s), x, y)
+        return dp_acc + dp, dt_acc + dt
+
+    dp, dt = jax.lax.fori_loop(
+        0, n_scenes, body,
+        (jnp.zeros_like(pred_tile), jnp.zeros_like(gt_tile)))
     g = g_ref[0, 0]
     dpred_ref[0] = dp * g
     dgt_ref[0] = dt * g
@@ -175,11 +202,14 @@ def _grid_call(kernel, pred_t, gt_t, scenes9, extra_inputs, extra_specs,
     svbrdf_spec = pl.BlockSpec((1, 12, tile_h, width),
                                lambda b, h: (b, 0, h, 0),
                                memory_space=pltpu.VMEM)
+    # Scene scalars live in SMEM: the per-scene loop reads them at a
+    # dynamic index, which VMEM loads can't lower.
     scene_spec = pl.BlockSpec((1,) + scenes9.shape[1:],
                               lambda b, h: (b, 0, 0),
-                              memory_space=pltpu.VMEM)
+                              memory_space=pltpu.SMEM)
     return pl.pallas_call(
-        functools.partial(kernel, tile_h=tile_h, height=height, width=width),
+        functools.partial(kernel, tile_h=tile_h, height=height, width=width,
+                          n_scenes=scenes9.shape[1]),
         grid=(batch, n_h),
         in_specs=[scene_spec, svbrdf_spec, svbrdf_spec] + extra_specs,
         out_specs=out_specs,

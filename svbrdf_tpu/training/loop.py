@@ -136,7 +136,7 @@ def run_training(args) -> float:
     prep = _prep_config(args, data)
     loss_fn = losses_lib.make_loss_fn(_loss_kind(args.loss), args.renderer,
                                       fused=getattr(args, "fused_loss",
-                                                    False))
+                                                    None))
     train_step = make_train_step(model, optimizer, loss_fn, prep, mesh)
     eval_step = make_eval_step(model, loss_fn, prep, mesh)
     print(f"Using renderer '{args.renderer}'")

@@ -118,3 +118,53 @@ class TestLoopHelpers:
         assert _loss_kind("mixed") == "mixed"
         assert _loss_kind("render") == "rendering"
         assert _loss_kind("l1") == "l1"
+
+    def test_mesh_size_for_batch(self):
+        from svbrdf_tpu.training.loop import _mesh_size_for_batch
+
+        assert _mesh_size_for_batch(8, 8) == 8
+        assert _mesh_size_for_batch(2, 8) == 2
+        assert _mesh_size_for_batch(3, 8) == 3
+        assert _mesh_size_for_batch(7, 4) == 1
+        assert _mesh_size_for_batch(6, 4) == 3
+
+
+class TestDeterminism:
+    """Same seed => bitwise-identical training trajectory (replaces the
+    reference's global-seed determinism switch, reference utils.py:7-13)."""
+
+    def _one_step(self):
+        import numpy as np
+        import optax
+
+        from svbrdf_tpu import losses
+        from svbrdf_tpu.models import SingleViewModel
+        from svbrdf_tpu.parallel.step import PrepConfig, make_train_step
+
+        model = SingleViewModel(num_filters=4, depth=4)
+        optimizer = optax.adam(1e-4)
+        loss_fn = losses.make_loss_fn("mixed", "local",
+                                      fused=False)
+        prep = PrepConfig(1, True, False, False)
+        step = make_train_step(model, optimizer, loss_fn, prep, mesh=None,
+                               donate=False)
+
+        rng = np.random.default_rng(0)
+        sv = rng.uniform(0.1, 0.9, (2, 16, 16, 12)).astype(np.float32)
+        raw = {"inputs": np.zeros((2, 0, 16, 16, 3), np.float32),
+               "svbrdf": sv}
+        key = jax.random.key(313)
+        params = model.init(jax.random.fold_in(key, 1),
+                            jnp.zeros((1, 1, 16, 16, 3)))["params"]
+        opt_state = optimizer.init(params)
+        params, opt_state, loss = step(params, opt_state, raw, key)
+        return jax.tree.map(lambda x: np.asarray(x), params), float(loss)
+
+    def test_bitwise_repeatable(self):
+        import numpy as np
+
+        p1, l1 = self._one_step()
+        p2, l2 = self._one_step()
+        assert l1 == l2
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+            np.testing.assert_array_equal(a, b)
