@@ -168,6 +168,21 @@ class SvbrdfDataset:
             yield self.raw_batch(idx)
 
 
+def shard_files_for_host(paths, process_index: Optional[int] = None,
+                         process_count: Optional[int] = None):
+    """Deterministic per-host shard of a file list for multi-host training.
+
+    For the ~200k-sample / 80 GB single-view corpus (SURVEY.md §6), each
+    host feeds its own shard of files to its local devices; batch sharding
+    across the global mesh handles the rest.
+    """
+    import jax
+
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return [p for i, p in enumerate(sorted(paths)) if i % pc == pi]
+
+
 def split_train_validation(dataset_len: int, validation_split: float = 0.01,
                            seed: int = 313):
     """Random 99/1 index split (reference main.py:57-59)."""

@@ -173,3 +173,14 @@ class TestDataset:
         tr, va = split_train_validation(200, 0.01)
         assert len(tr) == 198 and len(va) == 2
         assert set(tr) | set(va) == set(range(200))
+
+    def test_shard_files_for_host(self):
+        from svbrdf_tpu.data.dataset import shard_files_for_host
+
+        paths = [f"f{i:03d}.png" for i in range(10)]
+        s0 = shard_files_for_host(paths, 0, 3)
+        s1 = shard_files_for_host(paths, 1, 3)
+        s2 = shard_files_for_host(paths, 2, 3)
+        assert sorted(s0 + s1 + s2) == sorted(paths)
+        assert not (set(s0) & set(s1))
+        assert len(s0) == 4 and len(s1) == 3

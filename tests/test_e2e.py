@@ -81,6 +81,16 @@ def test_multiview_training_runs(tmp_path, toy_data_dir):
 
 
 @pytest.mark.slow
+def test_pathtracing_renderer_training_runs(tmp_path, toy_data_dir):
+    """Config-4 path: rendering loss through the JAX path tracer."""
+    model_dir = tmp_path / "model_pt"
+    args = _args(toy_data_dir, model_dir,
+                 extra=["--renderer", "pathtracing", "--epochs", "1"])
+    loss = loop.run_training(args)
+    assert np.isfinite(loss)
+
+
+@pytest.mark.slow
 def test_l1_loss_training_runs(tmp_path, toy_data_dir):
     """Config-1 path: pure L1 objective trains without the renderer."""
     model_dir = tmp_path / "model_l1"

@@ -191,3 +191,29 @@ class TestMultiView:
                             jnp.zeros((1, 2, 256, 256, 3)))
         j_count = sum(x.size for x in jax.tree.leaves(params))
         assert j_count == t_count
+
+    def test_forward_matches_reference(self, reference_modules):
+        """Multi-view golden test: ported weights, 2 views, same output."""
+        import torch
+
+        from svbrdf_tpu.interop import port_torch_state_dict
+
+        ref_models = reference_modules["models"]
+        torch.manual_seed(1)
+        tmodel = ref_models.MultiViewModel(use_coords=False).eval()
+
+        model = MultiViewModel(use_coords=False)
+        rng = np.random.default_rng(7)
+        x = rng.uniform(0, 1, (1, 2, 256, 256, 3)).astype(np.float32)
+
+        variables = model.init(jax.random.key(5), jnp.asarray(x))
+        params = port_torch_state_dict(tmodel.state_dict(),
+                                       variables["params"])
+
+        with jax.default_matmul_precision("highest"):
+            ours = np.asarray(model.apply({"params": params},
+                                          jnp.asarray(x)))
+        with torch.no_grad():
+            theirs = tmodel(torch.from_numpy(x).permute(0, 1, 4, 2, 3))
+        theirs = theirs.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=2e-4)
