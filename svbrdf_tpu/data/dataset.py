@@ -52,6 +52,11 @@ class SvbrdfDataset:
         self._host_rng = np.random.default_rng(seed)
         self._key = jax.random.key(seed)
 
+        # Byte-transfer fast path: in crop mode (pure slicing) the host can
+        # keep strips as uint8 end-to-end; /255 + normals remap happen on
+        # device (pipeline.prepare_batch), quartering host->device traffic.
+        self._transfer_u8 = (scale_mode == "crop" and not no_svbrdf)
+
         # Native libpng decode pool: big datasets (the 80 GB single-view
         # corpus) stream through background threads instead of stalling the
         # training loop on host PNG decode (the reference pays this cost in
@@ -87,13 +92,29 @@ class SvbrdfDataset:
             for i in indices:
                 self._pool.request(int(i))
 
-    def _read_strip(self, idx: int) -> np.ndarray:
+    def _read_strip_u8(self, idx: int) -> np.ndarray:
         if self._pool is not None:
-            return self._pool.take(idx).astype(np.float32) / 255.0
-        return strips.read_image(self.file_paths[idx])
+            return self._pool.take(idx)
+        return strips.read_image_u8(self.file_paths[idx])
+
+    def _read_strip(self, idx: int) -> np.ndarray:
+        return self._read_strip_u8(idx).astype(np.float32) / 255.0
+
+    def load_scaled_u8(self, idx: int):
+        """Byte fast path (crop mode): raw uint8 (inputs, svbrdf) tiles."""
+        inputs, svbrdf = strips.decode_strip_u8(self._read_strip_u8(idx),
+                                                self.input_image_count)
+        n_read = min(self.input_image_count, self.used_input_image_count)
+        inputs = inputs[self.input_image_count - n_read:]
+        r, c = self._crop_anchor(svbrdf.shape[0], svbrdf.shape[1])
+        s = self.image_size
+        return (inputs[:, r:r + s, c:c + s, :],
+                svbrdf[r:r + s, c:c + s, :])
 
     def load_scaled(self, idx: int):
         """Host: strip -> scaled (inputs (N_read, s, s, 3), svbrdf (s, s, 12))."""
+        if self._transfer_u8:
+            return self.load_scaled_u8(idx)
         inputs, svbrdf = strips.decode_sample(
             self._read_strip(idx), self.input_image_count,
             self.used_input_image_count, self.no_svbrdf)
@@ -110,17 +131,27 @@ class SvbrdfDataset:
                 inputs, svbrdf, self.image_size, self.scale_mode, anchor)
         return np.asarray(inputs), np.asarray(svbrdf)
 
+    @staticmethod
+    def _to_float(inputs: np.ndarray, svbrdf: np.ndarray):
+        """Undo the uint8 fast path for eager per-item use."""
+        if svbrdf.dtype == np.uint8:
+            svf = svbrdf.astype(np.float32) / 255.0
+            svbrdf = np.concatenate([svf[..., :3] * 2.0 - 1.0, svf[..., 3:]],
+                                    axis=-1)
+            inputs = inputs.astype(np.float32) / 255.0
+        return inputs, svbrdf
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         """Fully-prepared single item (parity path; training uses batches()).
 
         Returns {'inputs': (used_count, s, s, 3) linear RGB,
                  'svbrdf': (s, s, 12)}. Reference dataset.py:45-103.
         """
-        inputs, svbrdf = self.load_scaled(idx)
+        inputs, svbrdf = self._to_float(*self.load_scaled(idx))
 
         if self.mix_materials:
             other = int(self._host_rng.integers(0, len(self)))
-            _, other_svbrdf = self.load_scaled(other)
+            _, other_svbrdf = self._to_float(*self.load_scaled(other))
             svbrdf = np.asarray(pipeline.mix_materials(
                 self._next_key(), svbrdf, other_svbrdf))
 

@@ -219,6 +219,13 @@ def prepare_sample(key, images: jnp.ndarray, svbrdf: jnp.ndarray,
     return images, svbrdf
 
 
+def _decode_u8_svbrdf(sv):
+    """Raw strip bytes (..., 12) uint8 -> packed SVBRDF float32: /255 and
+    normals remapped to [-1, 1]. (Host keeps bytes; see strips.decode_strip_u8.)"""
+    f = sv.astype(jnp.float32) / 255.0
+    return jnp.concatenate([f[..., :3] * 2.0 - 1.0, f[..., 3:]], axis=-1)
+
+
 @partial(jax.jit, static_argnames=("used_input_image_count",
                                    "use_augmentation", "is_linear"))
 def prepare_batch(key, raw_inputs: jnp.ndarray, raw_svbrdfs: jnp.ndarray,
@@ -232,6 +239,13 @@ def prepare_batch(key, raw_inputs: jnp.ndarray, raw_svbrdfs: jnp.ndarray,
     partner_svbrdfs: (B, H, W, 12) mixing partners or None (host picks the
     random partner FILE, device does the math — reference dataset.py:51-55).
     """
+    if raw_inputs.dtype == jnp.uint8:
+        raw_inputs = raw_inputs.astype(jnp.float32) / 255.0
+    if raw_svbrdfs.dtype == jnp.uint8:
+        raw_svbrdfs = _decode_u8_svbrdf(raw_svbrdfs)
+    if partner_svbrdfs is not None and partner_svbrdfs.dtype == jnp.uint8:
+        partner_svbrdfs = _decode_u8_svbrdf(partner_svbrdfs)
+
     b = raw_svbrdfs.shape[0]
     keys = jax.random.split(key, b)
 

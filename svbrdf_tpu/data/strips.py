@@ -90,6 +90,27 @@ def decode_strip(strip: np.ndarray, input_image_count: int,
     return inputs.astype(np.float32), svbrdf.astype(np.float32)
 
 
+def decode_strip_u8(strip_u8: np.ndarray, input_image_count: int
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Split a uint8 strip WITHOUT numeric decoding.
+
+    Returns (inputs (N, H, w, 3) uint8, svbrdf (H, w, 12) uint8) where the
+    svbrdf channels are the raw stored bytes — /255 and the normals'
+    [0,1]->[-1,1] remap happen ON DEVICE (data/pipeline.prepare_batch).
+    Keeping bytes end-to-end quarters host->device transfer and skips the
+    host-side float conversion entirely.
+    """
+    n_parts = input_image_count + 4
+    h, total_w = strip_u8.shape[:2]
+    w = total_w // n_parts
+    parts = [strip_u8[:, i * w:(i + 1) * w, :] for i in range(n_parts)]
+    inputs = (np.stack(parts[:input_image_count], axis=0)
+              if input_image_count > 0
+              else np.zeros((0, h, w, 3), np.uint8))
+    svbrdf = np.concatenate(parts[input_image_count:], axis=-1)
+    return inputs, svbrdf
+
+
 def decode_sample(strip: np.ndarray, input_image_count: int,
                   used_input_image_count: int, no_svbrdf: bool = False
                   ) -> Tuple[np.ndarray, np.ndarray]:
