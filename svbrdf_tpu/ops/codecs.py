@@ -88,6 +88,23 @@ def decode_svbrdf(svbrdf9: jnp.ndarray) -> jnp.ndarray:
     return pack_svbrdf(normals, diffuse, roughness, specular)
 
 
+def encode_svbrdf(svbrdf12: jnp.ndarray) -> jnp.ndarray:
+    """12-channel SVBRDF -> 9-channel encoded form (inverse of decode_svbrdf).
+
+    The reference left this unimplemented with a noted normal-encoding bug
+    (reference utils.py:62-63); here it is the exact inverse: unit normal
+    (nx, ny, nz) -> (nx/nz, ny/nz) / 3, roughness collapsed to one channel
+    (mean). decode_svbrdf(encode_svbrdf(x)) == x for valid inputs with
+    replicated roughness.
+    """
+    maps = unpack_svbrdf(svbrdf12)
+    nz = jnp.maximum(maps.normals[..., 2:3], 1e-6)
+    nxy = maps.normals[..., 0:2] / nz / 3.0
+    roughness = jnp.mean(maps.roughness, axis=-1, keepdims=True)
+    return jnp.concatenate([nxy, maps.diffuse, roughness, maps.specular],
+                           axis=-1)
+
+
 def encode_as_unit_interval(x: jnp.ndarray) -> jnp.ndarray:
     """[-1, 1] -> [0, 1]. Reference utils.py:92-93."""
     return (x + 1.0) / 2.0

@@ -13,8 +13,7 @@ annotations. Buffers are donated so params/opt update in place.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

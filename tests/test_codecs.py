@@ -111,6 +111,23 @@ class TestDecodeSvbrdf:
         np.testing.assert_allclose(ours, theirs, atol=1e-6)
 
 
+class TestEncodeSvbrdf:
+    def test_roundtrip_with_decode(self):
+        """decode(encode(x)) == x (the reference's encode was broken and
+        raised NotImplementedError, utils.py:62-63)."""
+        rng = np.random.default_rng(11)
+        n = rng.uniform(-1, 1, (4, 4, 3)).astype(np.float32)
+        n[..., 2] = np.abs(n[..., 2]) + 0.4
+        n /= np.linalg.norm(n, axis=-1, keepdims=True)
+        d = rng.uniform(0, 1, (4, 4, 3)).astype(np.float32)
+        r = np.repeat(rng.uniform(0, 1, (4, 4, 1)).astype(np.float32), 3, -1)
+        s = rng.uniform(0, 1, (4, 4, 3)).astype(np.float32)
+        sv = jnp.asarray(np.concatenate([n, d, r, s], -1))
+        back = codecs.decode_svbrdf(codecs.encode_svbrdf(sv))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(sv),
+                                   atol=1e-5)
+
+
 class TestUnitInterval:
     def test_roundtrip(self):
         x = jnp.linspace(-1, 1, 11)
