@@ -1,0 +1,20 @@
+"""Estimate SVBRDF maps from photographs with a trained checkpoint.
+
+    python examples/predict.py <model_dir> out_dir photo1.png [photo2.png ...]
+"""
+
+import sys
+
+from svbrdf_tpu.estimator import SvbrdfEstimator
+
+
+def main():
+    model_dir, out_dir = sys.argv[1], sys.argv[2]
+    photos = sys.argv[3:]
+    est = SvbrdfEstimator.from_checkpoint(model_dir)
+    for path in est.predict_to_files(photos, out_dir):
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

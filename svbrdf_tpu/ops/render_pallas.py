@@ -121,10 +121,10 @@ def _shade_planes(planes, cam, light, color, x, y):
     return out
 
 
-def _patch_xy(tile_shape, row0, height, width):
+def _patch_xy(tile_shape, row0, col0, height, width):
     # TPU iota must be integer-typed; cast after.
     col = jax.lax.broadcasted_iota(jnp.int32, tile_shape, 1).astype(
-        jnp.float32)
+        jnp.float32) + col0
     row = jax.lax.broadcasted_iota(jnp.int32, tile_shape, 0).astype(
         jnp.float32) + row0
     x = -1.0 + 2.0 * col / (width - 1)
@@ -152,12 +152,13 @@ def _read_scene(scene_ref, s):
     return [scene_ref[0, s, k] for k in range(9)]
 
 
-def _fwd_kernel(scene_ref, pred_ref, gt_ref, out_ref, *, tile_h, height,
-                width, n_scenes):
+def _fwd_kernel(scene_ref, pred_ref, gt_ref, out_ref, *, tile_h, tile_w,
+                height, width, n_scenes):
     row0 = pl.program_id(1) * tile_h
+    col0 = pl.program_id(2) * tile_w
     pred_tile = pred_ref[0]
     gt_tile = gt_ref[0]
-    x, y = _patch_xy(pred_tile.shape[1:], row0, height, width)
+    x, y = _patch_xy(pred_tile.shape[1:], row0, col0, height, width)
 
     # fori_loop keeps the kernel body compact — fully unrolling S scenes
     # overwhelmed the TPU compiler.
@@ -172,11 +173,12 @@ def _fwd_kernel(scene_ref, pred_ref, gt_ref, out_ref, *, tile_h, height,
 
 
 def _bwd_kernel(scene_ref, pred_ref, gt_ref, g_ref, dpred_ref, dgt_ref, *,
-                tile_h, height, width, n_scenes):
+                tile_h, tile_w, height, width, n_scenes):
     row0 = pl.program_id(1) * tile_h
+    col0 = pl.program_id(2) * tile_w
     pred_tile = pred_ref[0]
     gt_tile = gt_ref[0]
-    x, y = _patch_xy(pred_tile.shape[1:], row0, height, width)
+    x, y = _patch_xy(pred_tile.shape[1:], row0, col0, height, width)
 
     # The loss is a SUM over scenes, so its gradient is the sum of
     # per-scene gradients — accumulate them in a fori_loop (no reverse
@@ -196,21 +198,23 @@ def _bwd_kernel(scene_ref, pred_ref, gt_ref, g_ref, dpred_ref, dgt_ref, *,
 
 
 def _grid_call(kernel, pred_t, gt_t, scenes9, extra_inputs, extra_specs,
-               out_shape, out_specs, tile_h, interpret):
+               out_shape, out_specs, tile_h, tile_w, interpret):
     batch, _, height, width = pred_t.shape
     n_h = height // tile_h
-    svbrdf_spec = pl.BlockSpec((1, 12, tile_h, width),
-                               lambda b, h: (b, 0, h, 0),
+    n_w = width // tile_w
+    svbrdf_spec = pl.BlockSpec((1, 12, tile_h, tile_w),
+                               lambda b, h, w: (b, 0, h, w),
                                memory_space=pltpu.VMEM)
     # Scene scalars live in SMEM: the per-scene loop reads them at a
     # dynamic index, which VMEM loads can't lower.
     scene_spec = pl.BlockSpec((1,) + scenes9.shape[1:],
-                              lambda b, h: (b, 0, 0),
+                              lambda b, h, w: (b, 0, 0),
                               memory_space=pltpu.SMEM)
     return pl.pallas_call(
-        functools.partial(kernel, tile_h=tile_h, height=height, width=width,
+        functools.partial(kernel, tile_h=tile_h, tile_w=tile_w,
+                          height=height, width=width,
                           n_scenes=scenes9.shape[1]),
-        grid=(batch, n_h),
+        grid=(batch, n_h, n_w),
         in_specs=[scene_spec, svbrdf_spec, svbrdf_spec] + extra_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -222,63 +226,72 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _fused_loss_planes(pred_t, gt_t, scenes9, tile_h):
-    return _fused_fwd_value(pred_t, gt_t, scenes9, tile_h)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_loss_planes(pred_t, gt_t, scenes9, tile_h, tile_w):
+    return _fused_fwd_value(pred_t, gt_t, scenes9, tile_h, tile_w)
 
 
-def _fused_fwd_value(pred_t, gt_t, scenes9, tile_h):
+def _fused_fwd_value(pred_t, gt_t, scenes9, tile_h, tile_w):
     batch, _, height, width = pred_t.shape
     n_h = height // tile_h
+    n_w = width // tile_w
     partials = _grid_call(
         _fwd_kernel, pred_t, gt_t, scenes9, [], [],
-        jax.ShapeDtypeStruct((batch * n_h, 8, 128), jnp.float32),
-        pl.BlockSpec((1, 8, 128), lambda b, h: (b * n_h + h, 0, 0),
+        jax.ShapeDtypeStruct((batch * n_h * n_w, 8, 128), jnp.float32),
+        pl.BlockSpec((1, 8, 128),
+                     lambda b, h, w: ((b * n_h + h) * n_w + w, 0, 0),
                      memory_space=pltpu.VMEM),
-        tile_h, _use_interpret())
+        tile_h, tile_w, _use_interpret())
     count = batch * scenes9.shape[1] * height * width * 3
     return jnp.sum(partials) / count
 
 
-def _fused_fwd(pred_t, gt_t, scenes9, tile_h):
-    return _fused_fwd_value(pred_t, gt_t, scenes9, tile_h), (
+def _fused_fwd(pred_t, gt_t, scenes9, tile_h, tile_w):
+    return _fused_fwd_value(pred_t, gt_t, scenes9, tile_h, tile_w), (
         pred_t, gt_t, scenes9)
 
 
-def _fused_bwd(tile_h, residuals, g):
+def _fused_bwd(tile_h, tile_w, residuals, g):
     pred_t, gt_t, scenes9 = residuals
     batch, _, height, width = pred_t.shape
     count = batch * scenes9.shape[1] * height * width * 3
     g_scaled = jnp.asarray(g / count, jnp.float32).reshape(1, 1)
 
-    g_spec = pl.BlockSpec((1, 1), lambda b, h: (0, 0),
+    g_spec = pl.BlockSpec((1, 1), lambda b, h, w: (0, 0),
                           memory_space=pltpu.SMEM)
-    svbrdf_out = pl.BlockSpec((1, 12, tile_h, width),
-                              lambda b, h: (b, 0, h, 0),
+    svbrdf_out = pl.BlockSpec((1, 12, tile_h, tile_w),
+                              lambda b, h, w: (b, 0, h, w),
                               memory_space=pltpu.VMEM)
     dpred, dgt = _grid_call(
         _bwd_kernel, pred_t, gt_t, scenes9, [g_scaled], [g_spec],
         (jax.ShapeDtypeStruct(pred_t.shape, jnp.float32),
          jax.ShapeDtypeStruct(gt_t.shape, jnp.float32)),
         (svbrdf_out, svbrdf_out),
-        tile_h, _use_interpret())
+        tile_h, tile_w, _use_interpret())
     return dpred, dgt, None
 
 
 _fused_loss_planes.defvjp(_fused_fwd, _fused_bwd)
 
 
+MAX_TILE_W = 512  # keeps the backward kernel's scoped VMEM under 16 MB
+
+
 def rendering_loss_fused(pred: jnp.ndarray, target: jnp.ndarray,
                          scenes: Scene,
-                         tile_h: int = DEFAULT_TILE_H) -> jnp.ndarray:
+                         tile_h: int = DEFAULT_TILE_H,
+                         tile_w: int = 0) -> jnp.ndarray:
     """Fused rendering loss over per-item scene sets.
 
     pred/target: (B, H, W, 12) channels-last SVBRDFs; scenes: Scene with
     (B, S, 3) fields. Equals losses.rendering_loss's value for the same
-    scene set (tested), with O(svbrdf) HBM traffic instead of O(renders).
+    scene set (tested), with O(tile) VMEM — both H and W are tiled, so
+    arbitrary resolutions (tested to 1024^2) fit the 16 MB VMEM budget.
+    tile_w=0 -> min(width, MAX_TILE_W).
     """
     pred_t = jnp.transpose(pred.astype(jnp.float32), (0, 3, 1, 2))
     gt_t = jnp.transpose(target.astype(jnp.float32), (0, 3, 1, 2))
     scenes9 = pack_scenes(scenes)
     th = min(tile_h, pred.shape[1])
-    return _fused_loss_planes(pred_t, gt_t, scenes9, th)
+    tw = tile_w if tile_w > 0 else min(pred.shape[2], MAX_TILE_W)
+    return _fused_loss_planes(pred_t, gt_t, scenes9, th, tw)
