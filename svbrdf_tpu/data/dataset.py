@@ -31,7 +31,8 @@ class SvbrdfDataset:
                  mix_materials: bool = False, no_svbrdf: bool = False,
                  is_linear: bool = False, random_crop: bool = False,
                  seed: int = 313, use_native_prefetch: bool = True,
-                 prefetch_threads: int = 2):
+                 prefetch_threads: int = 2,
+                 cache_bytes: int = 1 << 30):
         self.data_directory = data_directory
         self.file_paths: List[str] = strips.list_sample_files(data_directory)
         self.image_size = image_size
@@ -56,6 +57,14 @@ class SvbrdfDataset:
         # keep strips as uint8 end-to-end; /255 + normals remap happen on
         # device (pipeline.prepare_batch), quartering host->device traffic.
         self._transfer_u8 = (scale_mode == "crop" and not no_svbrdf)
+
+        # Decoded-strip cache (uint8, FIFO-bounded): repeat epochs over a
+        # dataset that fits in host RAM (the ~1 GB multi-view corpus does)
+        # skip PNG decode entirely. The 80 GB single-view corpus streams
+        # through the prefetch pool instead.
+        self._cache_limit = max(0, cache_bytes)
+        self._cache: "dict[int, np.ndarray]" = {}
+        self._cache_used = 0
 
         # Native libpng decode pool: big datasets (the 80 GB single-view
         # corpus) stream through background threads instead of stalling the
@@ -90,12 +99,21 @@ class SvbrdfDataset:
         """Hint the decode pool about upcoming samples (no-op without it)."""
         if self._pool is not None:
             for i in indices:
-                self._pool.request(int(i))
+                if int(i) not in self._cache:
+                    self._pool.request(int(i))
 
     def _read_strip_u8(self, idx: int) -> np.ndarray:
+        cached = self._cache.get(idx)
+        if cached is not None:
+            return cached
         if self._pool is not None:
-            return self._pool.take(idx)
-        return strips.read_image_u8(self.file_paths[idx])
+            strip = self._pool.take(idx)
+        else:
+            strip = strips.read_image_u8(self.file_paths[idx])
+        if self._cache_used + strip.nbytes <= self._cache_limit:
+            self._cache[idx] = strip
+            self._cache_used += strip.nbytes
+        return strip
 
     def _read_strip(self, idx: int) -> np.ndarray:
         return self._read_strip_u8(idx).astype(np.float32) / 255.0

@@ -174,6 +174,22 @@ class TestDataset:
         assert len(tr) == 198 and len(va) == 2
         assert set(tr) | set(va) == set(range(200))
 
+    def test_strip_cache_hits(self, toy_data_dir):
+        ds = SvbrdfDataset(str(toy_data_dir / "train"), image_size=32,
+                           scale_mode="crop", input_image_count=10,
+                           used_input_image_count=1)
+        a = ds._read_strip_u8(0)
+        assert ds._cache_used == a.nbytes
+        b = ds._read_strip_u8(0)
+        assert b is a  # second read served from cache
+
+    def test_strip_cache_disabled(self, toy_data_dir):
+        ds = SvbrdfDataset(str(toy_data_dir / "train"), image_size=32,
+                           scale_mode="crop", input_image_count=10,
+                           used_input_image_count=1, cache_bytes=0)
+        ds._read_strip_u8(0)
+        assert ds._cache_used == 0
+
     def test_shard_files_for_host(self):
         from svbrdf_tpu.data.dataset import shard_files_for_host
 
