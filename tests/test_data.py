@@ -174,6 +174,23 @@ class TestDataset:
         assert len(tr) == 198 and len(va) == 2
         assert set(tr) | set(va) == set(range(200))
 
+    def test_no_svbrdf_mode_getitem(self, toy_data_dir):
+        """Photo-folder mode (c): dummy flat maps, real photos kept."""
+        ds = SvbrdfDataset(str(toy_data_dir / "test"), image_size=32,
+                           scale_mode="crop", input_image_count=14,
+                           used_input_image_count=2, no_svbrdf=True)
+        item = ds[0]
+        assert item["inputs"].shape == (2, 32, 32, 3)
+        np.testing.assert_allclose(item["svbrdf"][..., 2], 1.0)  # flat z
+
+    def test_resize_mode_getitem(self, toy_data_dir):
+        ds = SvbrdfDataset(str(toy_data_dir / "train"), image_size=64,
+                           scale_mode="resize", input_image_count=10,
+                           used_input_image_count=1)
+        item = ds[0]
+        assert item["inputs"].shape == (1, 64, 64, 3)
+        assert item["svbrdf"].shape == (64, 64, 12)
+
     def test_strip_cache_hits(self, toy_data_dir):
         ds = SvbrdfDataset(str(toy_data_dir / "train"), image_size=32,
                            scale_mode="crop", input_image_count=10,

@@ -81,6 +81,16 @@ def test_multiview_training_runs(tmp_path, toy_data_dir):
 
 
 @pytest.mark.slow
+def test_resize_mode_training_runs(tmp_path, toy_data_dir):
+    """scale_mode=resize exercises the float (non-uint8) host path."""
+    model_dir = tmp_path / "model_resize"
+    args = _args(toy_data_dir, model_dir,
+                 extra=["--scale-mode", "resize", "--epochs", "1"])
+    loss = loop.run_training(args)
+    assert np.isfinite(loss)
+
+
+@pytest.mark.slow
 def test_pathtracing_renderer_training_runs(tmp_path, toy_data_dir):
     """Config-4 path: rendering loss through the JAX path tracer."""
     model_dir = tmp_path / "model_pt"
