@@ -1,1 +1,2 @@
-from svbrdf_tpu.interop.torch_port import port_torch_state_dict  # noqa: F401
+from svbrdf_tpu.interop.torch_port import (  # noqa: F401
+    export_torch_state_dict, port_torch_state_dict)

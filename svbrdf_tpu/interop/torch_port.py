@@ -76,6 +76,26 @@ def _torch_key(path) -> str:
     return ".".join(segs + [suffix])
 
 
+def export_torch_state_dict(flax_params) -> Dict:
+    """Inverse of port_torch_state_dict: Flax params -> reference-layout
+    state_dict (numpy arrays, torch key names/layouts).
+
+    Lets models trained here be loaded by the PyTorch reference
+    (`model.load_state_dict(...)`, reference persistence.py:96-103). The
+    reference's unused enc1 merge FC is absent — load with strict=False.
+    """
+    flat = traverse_util.flatten_dict(flax_params)
+    out = {}
+    for path, val in flat.items():
+        w = np.asarray(val)
+        if path[-1] == "kernel" and w.ndim == 4:
+            w = w.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+        elif path[-1] == "kernel" and w.ndim == 2:
+            w = w.T
+        out[_torch_key(path)] = w
+    return out
+
+
 def port_torch_state_dict(state_dict: Dict, flax_params) -> Dict:
     """Fill a flax param tree with reference torch weights.
 
