@@ -21,8 +21,11 @@ def main(argv=None):
 
     if args.mode == "train":
         loop.run_training(args)
-        # After training, evaluate on the validation (fallback: training)
-        # split visually, like reference main.py:156-223.
+        # After training, evaluate visually like reference main.py:156-223.
+        # Switch to test mode so setup() loads the just-saved checkpoint
+        # (train+retrain would skip the load and predict with fresh init).
+        args.mode = "test"
+        args.retrain = False
         loop.run_test(args)
     else:
         loop.run_test(args)
