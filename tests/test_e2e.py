@@ -81,6 +81,43 @@ def test_multiview_training_runs(tmp_path, toy_data_dir):
 
 
 @pytest.mark.slow
+def test_main_entry_trains_and_visualizes_trained_model(tmp_path,
+                                                        toy_data_dir):
+    """`main()` end-to-end: the post-training grids must come from the
+    TRAINED checkpoint (regression: train+retrain args skipped the load)."""
+    from svbrdf_tpu import main as main_mod
+    from svbrdf_tpu.estimator import SvbrdfEstimator
+    import jax.numpy as jnp
+    import jax
+
+    model_dir = tmp_path / "model_main"
+    main_mod.main([
+        "--mode", "train",
+        "--input-dir", str(toy_data_dir / "train"),
+        "--image-count", "10", "--used-image-count", "1",
+        "--image-size", "32", "--model-depth", "5", "--num-filters", "8",
+        "--batch-size", "2", "--epochs", "2", "--save-frequency", "1",
+        "--validation-frequency", "1",
+        "--model-dir", str(model_dir), "--retrain",
+    ])
+    grids = list((model_dir / "test_outputs").iterdir())
+    assert len(grids) == 2
+
+    # The visualized model must equal the trained checkpoint, not fresh
+    # init: predictions through the estimator (which loads the checkpoint)
+    # and an untrained model must differ.
+    est = SvbrdfEstimator.from_checkpoint(model_dir, image_size=32)
+    from svbrdf_tpu.models import SingleViewModel
+
+    fresh = SingleViewModel(num_filters=8, depth=5)
+    x = jnp.linspace(0, 1, 32 * 32 * 3).reshape(1, 32, 32, 3)
+    fresh_params = fresh.init(jax.random.key(0), x)["params"]
+    trained_out = est.predict(x)
+    fresh_out = np.asarray(fresh.apply({"params": fresh_params}, x))
+    assert np.abs(trained_out - fresh_out).max() > 1e-4
+
+
+@pytest.mark.slow
 def test_resize_mode_training_runs(tmp_path, toy_data_dir):
     """scale_mode=resize exercises the float (non-uint8) host path."""
     model_dir = tmp_path / "model_resize"
