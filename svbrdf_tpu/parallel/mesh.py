@@ -24,10 +24,20 @@ DATA_AXIS = "data"
 
 def make_mesh(devices: Optional[Sequence] = None,
               n_devices: Optional[int] = None) -> Mesh:
-    """A 1-D data-parallel mesh over the given (or all) devices."""
+    """A 1-D data-parallel mesh over the given (or all) devices.
+
+    When `n_devices` is given it is a hard requirement: asking for more
+    devices than exist raises instead of silently truncating (a truncated
+    mesh would make an "8-way" run secretly single-device).
+    """
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} device(s) are available "
+                f"({jax.default_backend()} backend)")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
