@@ -135,8 +135,11 @@ def synthesize_inputs(key, svbrdf: jnp.ndarray, count: int,
     scenes = generate_input_scenes(k_scene, count, use_augmentation)
     renders = render.render(scenes, svbrdf[None])  # (count, H, W, 3)
 
+    # Fresh std per synthesized photo (reference draws one per rendering,
+    # dataset.py:215) — a shared std would correlate the augmentation
+    # noise across a sample's input photos.
     noise_std = jnp.exp(
-        math.log(0.005) + 0.3 * jax.random.normal(k_std, ()))
+        math.log(0.005) + 0.3 * jax.random.normal(k_std, (count, 1, 1, 1)))
     noise = noise_std * jax.random.normal(k_noise, renders.shape)
     return jnp.clip(renders + noise, 0.0, 1.0)
 

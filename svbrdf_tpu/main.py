@@ -21,12 +21,13 @@ def main(argv=None):
 
     if args.mode == "train":
         loop.run_training(args)
-        # After training, evaluate visually like reference main.py:156-223.
-        # Switch to test mode so setup() loads the just-saved checkpoint
-        # (train+retrain would skip the load and predict with fresh init).
+        # After training, visualize the VALIDATION split like reference
+        # main.py:156-165. Switch to test mode so setup() loads the
+        # just-saved checkpoint (train+retrain would skip the load and
+        # predict with fresh init).
         args.mode = "test"
         args.retrain = False
-        loop.run_test(args)
+        loop.run_test(args, validation_split_only=True)
     else:
         loop.run_test(args)
 

@@ -294,4 +294,11 @@ def rendering_loss_fused(pred: jnp.ndarray, target: jnp.ndarray,
     scenes9 = pack_scenes(scenes)
     th = min(tile_h, pred.shape[1])
     tw = tile_w if tile_w > 0 else min(pred.shape[2], MAX_TILE_W)
+    height, width = pred.shape[1], pred.shape[2]
+    if height % th or width % tw:
+        # The grid covers exactly n_h*th x n_w*tw pixels while the
+        # normalizer uses the full H*W — a non-dividing tile would
+        # silently drop rows/cols from the loss and their gradients.
+        raise ValueError(
+            f"tile ({th}, {tw}) must divide the image ({height}, {width})")
     return _fused_loss_planes(pred_t, gt_t, scenes9, th, tw)

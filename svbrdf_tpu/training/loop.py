@@ -118,11 +118,51 @@ def _mesh_size_for_batch(batch_size: int, n_available: int) -> int:
     return max(d for d in range(1, n_available + 1) if batch_size % d == 0)
 
 
+def _validation_loss(eval_steps: dict, params, data, val_idx, batch_size,
+                     root_key, epoch) -> float:
+    """Sample-weighted mean validation loss.
+
+    Full batches run through the sharded eval step; a trailing partial
+    batch runs at its TRUE size through a single-device step built on
+    demand (keyed by its length), so no sample is ever duplicated into
+    the statistic (reference protocol: plain mean over the split,
+    main.py:129-147). Each batch gets its own scene key.
+    """
+    # A validation key stream disjoint from training's fold_in(root, step+1)
+    # (steps stay far below 1e9; fold_in rejects negative values).
+    val_key = jax.random.fold_in(root_key, 1_000_000_007 + epoch)
+    total, count = 0.0, 0
+    for lo in range(0, len(val_idx), batch_size):
+        vidx = np.asarray(val_idx[lo:lo + batch_size])
+        raw = data.raw_batch(vidx)
+        key = jax.random.fold_in(val_key, lo)
+        step = eval_steps[batch_size if len(vidx) == batch_size
+                          else "remainder"]
+        total += float(step(params, raw, key)) * len(vidx)
+        count += len(vidx)
+    return total / count
+
+
+def _make_training_mesh(batch_size: int, n_avail: int):
+    """Data mesh sized to the largest batch divisor; warns loudly when
+    that idles devices (an invisible throughput loss on a paid slice)."""
+    mesh_size = _mesh_size_for_batch(batch_size, n_avail)
+    if mesh_size < n_avail:
+        import warnings
+
+        warnings.warn(
+            f"batch size {batch_size} is not divisible by {n_avail} "
+            f"devices; using a {mesh_size}-device mesh and IDLING "
+            f"{n_avail - mesh_size} device(s). Pick a batch size "
+            f"divisible by the device count to use the full slice.",
+            stacklevel=2)
+    return make_mesh(n_devices=mesh_size)
+
+
 def run_training(args) -> float:
     n_avail = (args.num_devices if args.num_devices > 0
                else len(jax.devices()))
-    mesh = make_mesh(n_devices=_mesh_size_for_batch(args.batch_size,
-                                                    n_avail))
+    mesh = _make_training_mesh(args.batch_size, n_avail)
     print(f"Using mesh {mesh} on {jax.default_backend()}")
 
     (args, model, params, optimizer, opt_state, epoch_start,
@@ -138,7 +178,11 @@ def run_training(args) -> float:
                                       fused=getattr(args, "fused_loss",
                                                     None))
     train_step = make_train_step(model, optimizer, loss_fn, prep, mesh)
-    eval_step = make_eval_step(model, loss_fn, prep, mesh)
+    eval_steps = {
+        batch_size_key: make_eval_step(model, loss_fn, prep, m)
+        for batch_size_key, m in
+        ((args.batch_size, mesh), ("remainder", None))
+    }
     print(f"Using renderer '{args.renderer}'")
 
     checkpoint_dir = pathlib.Path(args.model_dir)
@@ -218,15 +262,8 @@ def run_training(args) -> float:
             save(epoch)
 
         if (epoch % args.validation_frequency == 0 and len(val_idx) > 0):
-            val_losses = []
-            for lo in range(0, len(val_idx), batch_size):
-                vidx = val_idx[lo:lo + batch_size]
-                if len(vidx) < batch_size:
-                    vidx = np.resize(vidx, batch_size)
-                raw = data.raw_batch(vidx)
-                key = jax.random.fold_in(root_key, -(epoch + 1))
-                val_losses.append(float(eval_step(params, raw, key)))
-            val_loss = float(np.mean(val_losses))
+            val_loss = _validation_loss(eval_steps, params, data, val_idx,
+                                        batch_size, root_key, epoch)
             print(f"Epoch {epoch}, validation loss: {val_loss:f}")
             writer.add_scalar("val_loss", val_loss, epoch * batch_count)
 
@@ -240,11 +277,15 @@ def run_training(args) -> float:
     return last_loss
 
 
-def run_test(args, out_dir: Optional[str] = None) -> list:
-    """Predict SVBRDFs for every sample and save comparison grids.
+def run_test(args, out_dir: Optional[str] = None,
+             validation_split_only: bool = False) -> list:
+    """Predict SVBRDFs and save comparison grids.
 
     Reference main.py:167-223 shows a matplotlib figure; headless here:
-    grids are written to <model_dir>/test_outputs (or out_dir).
+    grids are written to <model_dir>/test_outputs (or out_dir). With
+    `validation_split_only` only the held-out 1% validation samples are
+    visualized — the post-training behavior of reference main.py:156-165
+    (falls back to all samples when the split is empty, e.g. toy data).
     """
     (args, model, params, _optimizer, _opt_state, _epoch,
      root_key) = setup(args, None)
@@ -258,8 +299,15 @@ def run_test(args, out_dir: Optional[str] = None) -> list:
 
     from svbrdf_tpu import viz
 
+    indices = range(len(data))
+    if validation_split_only:
+        _train_idx, val_idx = split_train_validation(len(data), 0.01,
+                                                     args.seed)
+        if len(val_idx) > 0:
+            indices = [int(i) for i in val_idx]
+
     written = []
-    for i in range(len(data)):
+    for i in indices:
         sample = data[i]
         inputs = jnp.asarray(sample["inputs"])[None]
         pred = np.asarray(predict(params, inputs))[0]

@@ -125,6 +125,33 @@ class TestSynthesis:
         b = pipeline.synthesize_inputs(jax.random.key(3), sv, count=2)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_noise_std_is_per_image(self):
+        # Each synthesized photo draws its OWN log-normal noise std
+        # (reference dataset.py:215 draws one per rendering) — a shared
+        # std would correlate augmentation noise across a sample's photos.
+        import math
+
+        from svbrdf_tpu.ops import render
+
+        rng = np.random.default_rng(6)
+        sv = jnp.asarray(random_svbrdf(rng, 8, 8))
+        key = jax.random.key(7)
+        out = pipeline.synthesize_inputs(key, sv, count=3,
+                                         use_augmentation=False)
+
+        k_scene, k_std, k_noise = jax.random.split(key, 3)
+        scenes = pipeline.generate_input_scenes(k_scene, 3,
+                                                use_augmentation=False)
+        renders = render.render(scenes, sv[None])
+        stds = jnp.exp(math.log(0.005)
+                       + 0.3 * jax.random.normal(k_std, (3, 1, 1, 1)))
+        expected = jnp.clip(
+            renders + stds * jax.random.normal(k_noise, renders.shape),
+            0.0, 1.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                                   atol=1e-5)
+        assert len(set(np.asarray(stds).ravel().tolist())) == 3
+
     def test_no_augmentation_uses_fixed_config(self):
         scenes = pipeline.generate_input_scenes(jax.random.key(0), 3,
                                                 use_augmentation=False)

@@ -63,6 +63,17 @@ def test_loss_fn_fused_variant(case):
                                float(ref(pred, target, key)), rtol=1e-5)
 
 
+def test_non_dividing_tile_rejected(case):
+    # A tile that does not divide the image would silently drop rows from
+    # the loss (grid covers n_h*tile_h rows; normalizer uses full H).
+    pred, target, scenes = case
+    with pytest.raises(ValueError, match="divide"):
+        render_pallas.rendering_loss_fused(pred, target, scenes, tile_h=5)
+    with pytest.raises(ValueError, match="divide"):
+        render_pallas.rendering_loss_fused(pred, target, scenes,
+                                           tile_h=8, tile_w=7)
+
+
 def test_zero_on_identical(case):
     pred, _, scenes = case
     fused = render_pallas.rendering_loss_fused(pred, pred, scenes, tile_h=8)

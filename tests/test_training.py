@@ -135,6 +135,54 @@ class TestShardedStep:
         assert out.shape == (1, 256, 256, 12)
 
 
+class TestValidationLoss:
+    def test_partial_batch_not_duplicated(self):
+        # 5 samples with per-sample loss == index, batch 2: the correct
+        # sample-weighted mean is 2.0; the old np.resize padding would
+        # wrap sample 4 into the last batch and report ~2.1667.
+        from svbrdf_tpu.training.loop import _validation_loss
+
+        class FakeData:
+            def raw_batch(self, idx):
+                return np.asarray(idx, np.float64)
+
+        steps = {2: lambda p, raw, key: raw.mean(),
+                 "remainder": lambda p, raw, key: raw.mean()}
+        val = _validation_loss(steps, None, FakeData(),
+                               np.arange(5), 2, jax.random.key(0), 0)
+        assert val == pytest.approx(2.0)
+
+    def test_batches_get_distinct_keys(self):
+        from svbrdf_tpu.training.loop import _validation_loss
+
+        keys = []
+
+        class FakeData:
+            def raw_batch(self, idx):
+                return np.asarray(idx, np.float64)
+
+        def step(p, raw, key):
+            keys.append(tuple(np.asarray(jax.random.key_data(key)).ravel()))
+            return raw.mean()
+
+        _validation_loss({2: step, "remainder": step}, None, FakeData(),
+                         np.arange(4), 2, jax.random.key(0), 0)
+        assert len(set(keys)) == len(keys) == 2
+
+    def test_device_idle_warning(self):
+        from svbrdf_tpu.training.loop import _make_training_mesh
+
+        with pytest.warns(UserWarning, match="IDLING"):
+            mesh = _make_training_mesh(3, 8)
+        assert mesh.devices.size == 3
+
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            assert _make_training_mesh(8, 8).devices.size == 8
+
+
 class TestLoopHelpers:
     def test_loss_kind_mapping(self):
         from svbrdf_tpu.training.loop import _loss_kind
