@@ -97,6 +97,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile-dir", dest="profile_dir", default=None,
                    help="If set, write a jax.profiler trace for the first "
                         "few steps here.")
+    p.add_argument("--import-torch-checkpoint",
+                   dest="import_torch_checkpoint", default=None,
+                   help="Path to a PyTorch reference checkpoint "
+                        "(checkpoint.tar, legacy model.data, or a "
+                        "directory holding one); weights are converted to "
+                        "this framework's layout. A reference checkpoint "
+                        "sitting in --model-dir is also detected "
+                        "automatically.")
     return p
 
 

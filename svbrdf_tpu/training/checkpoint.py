@@ -31,11 +31,62 @@ class Checkpoint:
     """An in-memory view of a loaded checkpoint (or an invalid one)."""
 
     def __init__(self, tree: Optional[Dict] = None,
-                 meta: Optional[Dict] = None):
+                 meta: Optional[Dict] = None,
+                 torch_state: Optional[Dict] = None):
         self._tree = tree
         self._meta = meta or {}
+        self._torch_state = torch_state
 
     # -- loading --------------------------------------------------------
+    @classmethod
+    def load_torch(cls, path) -> "Checkpoint":
+        """Ingest a PyTorch reference checkpoint.
+
+        Accepts the reference's `checkpoint.tar` (torch.save dict with
+        model_type/use_coords/epoch/model_state_dict, reference
+        persistence.py:59-69), a bare `model.data` state-dict file with an
+        optional `state.json` sidecar carrying the epoch (the legacy
+        format, persistence.py:14-32), or a directory holding either.
+        Weights are converted to our Flax layout on restore_params via
+        interop.torch_port.
+        """
+        import torch
+
+        p = pathlib.Path(path)
+        if p.is_dir():
+            if (p / "checkpoint.tar").exists():
+                p = p / "checkpoint.tar"
+            elif (p / "model.data").exists():
+                p = p / "model.data"
+            else:
+                print(f"No torch checkpoint found in directory '{path}'")
+                return cls(None)
+
+        def _load(f):
+            try:
+                return torch.load(f, map_location="cpu", weights_only=True)
+            except Exception:
+                # Older torch.save pickles (e.g. containing plain python
+                # objects) need the full unpickler.
+                return torch.load(f, map_location="cpu", weights_only=False)
+
+        blob = _load(p)
+        meta: Dict[str, Any] = {}
+        if isinstance(blob, dict) and "model_state_dict" in blob:
+            state_dict = blob["model_state_dict"]
+            for k in ("model_type", "use_coords", "epoch"):
+                if k in blob:
+                    meta[k] = blob[k]
+        else:  # legacy: the file IS the state dict
+            state_dict = blob
+            sidecar = p.parent / "state.json"
+            if sidecar.exists():
+                meta["epoch"] = json.loads(sidecar.read_text())["epoch"]
+                print("Loaded legacy training state")
+            print("Loaded legacy model state")
+        print(f"Loaded torch checkpoint '{p}'")
+        return cls(None, meta, torch_state=state_dict)
+
     @classmethod
     def load(cls, checkpoint_dir, template: Optional[Dict] = None
              ) -> "Checkpoint":
@@ -43,11 +94,18 @@ class Checkpoint:
 
         `template` (a pytree of like-shaped arrays) enables exact dtype /
         sharding restoration; without it the stored tree is returned as-is.
+        A directory holding a PyTorch reference checkpoint (checkpoint.tar
+        or legacy model.data) instead of our Orbax state is ingested
+        transparently, mirroring the reference's own legacy fallback
+        (persistence.py:40-47).
         """
         d = pathlib.Path(checkpoint_dir)
         tree_path = d / TREE_DIR
         meta_path = d / META_FILE
         if not tree_path.exists():
+            if ((d / "checkpoint.tar").exists()
+                    or (d / "model.data").exists()):
+                return cls.load_torch(d)
             print(f"No checkpoint found in directory '{checkpoint_dir}'")
             return cls(None)
 
@@ -99,11 +157,12 @@ class Checkpoint:
 
     # -- queries / selective restore ------------------------------------
     def is_valid(self) -> bool:
-        return self._tree is not None
+        return self._tree is not None or self._torch_state is not None
 
     def purge(self) -> None:
         """Drop the in-memory tree (reference persistence.py:71-73)."""
         self._tree = None
+        self._torch_state = None
 
     def restore_args(self, args):
         """Architecture args in the checkpoint override the CLI.
@@ -124,6 +183,16 @@ class Checkpoint:
 
     def restore_params(self, params):
         """Fill `params` (template or None) from the stored state-dict."""
+        if self._torch_state is not None:
+            from svbrdf_tpu.interop import port_torch_state_dict
+
+            if params is None:
+                raise ValueError(
+                    "restoring a torch checkpoint needs a parameter "
+                    "template (build the model first)")
+            ported = port_torch_state_dict(self._torch_state, params)
+            print("Restored model state (ported from torch layout)")
+            return ported
         if self._tree and "params" in self._tree:
             print("Restored model state")
             if params is None:
@@ -137,6 +206,13 @@ class Checkpoint:
 
     def restore_opt_state(self, opt_state):
         """Fill `opt_state` (template or None) from the stored state-dict."""
+        if self._torch_state is not None:
+            # torch Adam moments are keyed by parameter *order*, which does
+            # not survive the layout translation — start the optimizer
+            # fresh rather than guessing a misaligned mapping.
+            print("Torch checkpoints carry no portable optimizer state; "
+                  "starting optimizer fresh")
+            return opt_state
         if self._tree and "opt_state" in self._tree:
             print("Restored optimizer state")
             if opt_state is None:

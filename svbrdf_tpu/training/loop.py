@@ -78,7 +78,13 @@ def setup(args, mesh=None):
     clean_training = args.mode == "train" and args.retrain
 
     checkpoint = Checkpoint(None)
-    if not clean_training:
+    import_path = getattr(args, "import_torch_checkpoint", None)
+    if import_path:
+        checkpoint = Checkpoint.load_torch(import_path)
+        if not checkpoint.is_valid():
+            raise SystemExit(
+                f"No torch checkpoint found at '{import_path}'")
+    elif not clean_training:
         checkpoint = Checkpoint.load(checkpoint_dir)
     if checkpoint.is_valid() or checkpoint._meta:
         args = checkpoint.restore_args(args)
