@@ -110,6 +110,38 @@ class TestScaling:
         assert out.shape == (2, 4, 4, 3)
 
 
+class TestToyDataset:
+    def test_generate_and_load(self, tmp_path):
+        from svbrdf_tpu.data import strips, toy
+        from svbrdf_tpu.data.dataset import SvbrdfDataset
+
+        paths = toy.generate_toy_dataset(str(tmp_path), size=32,
+                                         n_train=2, n_test=1, seed=99)
+        assert len(paths) == 3
+        inputs, sv = strips.load_sample(paths[0], 10, 10)
+        assert inputs.shape == (10, 32, 32, 3)
+        assert sv.shape == (32, 32, 12)
+        # Normals decode to (approximately) unit vectors through the
+        # 8-bit strip roundtrip; other maps stay in [0, 1].
+        norms = np.linalg.norm(sv[..., :3], axis=-1)
+        assert np.abs(norms - 1.0).max() < 0.02
+        assert sv[..., 3:].min() >= 0.0 and sv[..., 3:].max() <= 1.0
+
+        data = SvbrdfDataset(str(tmp_path / "train"), image_size=32,
+                             input_image_count=10, used_input_image_count=1,
+                             mix_materials=False)
+        assert len(data) == 2
+        sample = data[0]
+        assert sample["inputs"].shape == (1, 32, 32, 3)
+
+    def test_deterministic_by_seed(self, tmp_path):
+        from svbrdf_tpu.data import toy
+
+        a = toy.make_toy_svbrdf(np.random.default_rng(7), 16)
+        b = toy.make_toy_svbrdf(np.random.default_rng(7), 16)
+        np.testing.assert_array_equal(a, b)
+
+
 class TestSynthesis:
     def test_shapes_and_range(self):
         rng = np.random.default_rng(4)
