@@ -303,6 +303,7 @@ def run_test(args, out_dir: Optional[str] = None,
                                    / "test_outputs"))
     out.mkdir(parents=True, exist_ok=True)
 
+    from svbrdf_tpu import metrics as metrics_lib
     from svbrdf_tpu import viz
 
     indices = range(len(data))
@@ -313,6 +314,7 @@ def run_test(args, out_dir: Optional[str] = None,
             indices = [int(i) for i in val_idx]
 
     written = []
+    per_sample = []
     for i in indices:
         sample = data[i]
         inputs = jnp.asarray(sample["inputs"])[None]
@@ -321,5 +323,23 @@ def run_test(args, out_dir: Optional[str] = None,
         viz.save_comparison_grid(str(path), np.asarray(sample["inputs"][0]),
                                  sample["svbrdf"], pred)
         written.append(str(path))
+        if not args.no_svbrdf_input:
+            # Quantitative quality next to the visual grid (the reference
+            # is qualitative-only, SURVEY §6); dummy GT maps in no-svbrdf
+            # mode would make the numbers meaningless.
+            m = metrics_lib.to_python(metrics_lib.svbrdf_metrics(
+                jnp.asarray(pred), jnp.asarray(sample["svbrdf"])))
+            per_sample.append({"sample": int(i), "grid": str(path),
+                               "metrics": m})
         print(f"wrote {path}")
+
+    if per_sample:
+        summary = metrics_lib.summarize(per_sample)
+        metrics_path = out / "metrics.json"
+        metrics_lib.write_metrics(metrics_path, summary)
+        mean = summary["mean"]
+        print("Test metrics (mean over "
+              f"{len(per_sample)} samples): "
+              + ", ".join(f"{k}={v:.4f}" for k, v in mean.items()))
+        print(f"wrote {metrics_path}")
     return written

@@ -63,6 +63,23 @@ def test_toy_train_resume_and_test(tmp_path, toy_data_dir):
     assert len(written) == 1
     assert pathlib.Path(written[0]).exists()
 
+    # --mode test emits quantitative metrics next to the grids.
+    import json
+    import math
+
+    metrics_path = pathlib.Path(written[0]).parent / "metrics.json"
+    summary = json.loads(metrics_path.read_text())
+    assert len(summary["samples"]) == 1
+    for k in ("rmse_normals", "rmse_diffuse", "rmse_roughness",
+              "rmse_specular", "log_rmse_diffuse", "log_rmse_specular",
+              "rendering_rmse"):
+        assert math.isfinite(summary["mean"][k]), k
+    # Toy checkpoint regression threshold: 2 epochs of training must keep
+    # predictions in a sane range (untrained-vs-GT on this fixture sits
+    # well above these bounds; regressions to garbage maps trip them).
+    assert summary["mean"]["rmse_normals"] < 1.0
+    assert summary["mean"]["rendering_rmse"] < 2.5
+
 
 @pytest.mark.slow
 def test_multiview_training_runs(tmp_path, toy_data_dir):
