@@ -32,9 +32,21 @@ class SvbrdfDataset:
                  is_linear: bool = False, random_crop: bool = False,
                  seed: int = 313, use_native_prefetch: bool = True,
                  prefetch_threads: int = 2,
-                 cache_bytes: int = 1 << 30):
+                 cache_bytes: int = 1 << 30,
+                 shard_across_hosts: bool = False):
         self.data_directory = data_directory
         self.file_paths: List[str] = strips.list_sample_files(data_directory)
+        self.global_file_count = len(self.file_paths)
+        if shard_across_hosts and jax.process_count() > 1:
+            # Multi-host input pipeline: each process reads only its own
+            # file shard; the global batch is assembled from per-process
+            # slices (parallel/mesh.shard_batch). Seed folds in the
+            # process index so hosts draw independent crops/partners.
+            self.file_paths = shard_files_for_host(self.file_paths)
+            seed = seed * 1000 + jax.process_index()
+            print(f"Host {jax.process_index()}/{jax.process_count()}: "
+                  f"{len(self.file_paths)} of {self.global_file_count} "
+                  f"files")
         self.image_size = image_size
         self.scale_mode = scale_mode
         self.input_image_count = input_image_count

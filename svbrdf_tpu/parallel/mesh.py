@@ -51,7 +51,71 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def local_batch_size(global_batch_size: int) -> int:
+    """This process's share of the global batch (multi-host SPMD: each
+    host feeds only its own devices)."""
+    pc = jax.process_count()
+    if global_batch_size % pc:
+        raise ValueError(
+            f"global batch size {global_batch_size} must be divisible by "
+            f"the process count {pc}")
+    return global_batch_size // pc
+
+
+def replicate_tree(tree, mesh: Mesh):
+    """Replicate host-local values (params/opt state) over the mesh.
+
+    Single-process: a sharded device_put. Multi-host: every process holds
+    the same host-local value (deterministic init / restored checkpoint)
+    and the global replicated array is assembled without data movement
+    (host_local_array_to_global_array; a plain device_put would trip
+    jax's cross-process value equality check, which cannot fetch
+    non-addressable arrays)."""
+    repl = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.host_local_array_to_global_array(
+            tree, mesh, P())
+    return jax.device_put(tree, repl)
+
+
+def fetch_local_tree(tree):
+    """Host-local numpy copy of a fully-replicated global tree (e.g. for
+    per-host local evaluation in multi-host runs)."""
+    return jax.tree.map(
+        lambda x: np.asarray(x.addressable_data(0))
+        if hasattr(x, "addressable_data") else np.asarray(x), tree)
+
+
+def sync_hosts(tag: str, timeout_ms: int = 1_200_000) -> None:
+    """Coordination-service barrier across processes (no-op single-host).
+
+    Unlike collective-based barriers, this never touches the device
+    runtime, so it is safe to call between compilation and first
+    execution — which is exactly when it is needed: collective context
+    setup (Gloo on CPU) has a short timeout, and per-host compile-time
+    skew of a large program can exceed it unless hosts sync after
+    compiling."""
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(tag, timeout_ms)
+
+
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place a host-side batch dict on device, sharded on axis 0."""
+    """Place a host-side batch dict on device, sharded on axis 0.
+
+    Single-process: a plain sharded device_put of the global batch.
+    Multi-host: `batch` is this PROCESS's slice (global_batch /
+    process_count samples) and the global array is assembled from the
+    per-process shards without any cross-host data movement
+    (jax.make_array_from_process_local_data)."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, x), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

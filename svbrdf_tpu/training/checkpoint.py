@@ -146,6 +146,8 @@ class Checkpoint:
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save((d / TREE_DIR).resolve(), tree, force=True)
 
+        if jax.process_index() != 0:
+            return  # Orbax coordinated the array write; one meta sidecar
         meta = {
             "model_type": model_type,
             "use_coords": bool(use_coords),

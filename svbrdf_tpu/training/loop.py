@@ -48,6 +48,8 @@ def _build_dataset(args, mode: str) -> SvbrdfDataset:
         no_svbrdf=args.no_svbrdf_input,
         is_linear=args.linear_input,
         seed=args.seed,
+        # Multi-host training: each process reads only its file shard.
+        shard_across_hosts=(mode == "train"),
     )
 
 
@@ -111,11 +113,20 @@ def setup(args, mesh=None):
     checkpoint.purge()
 
     if mesh is not None:
-        repl = mesh_lib.replicated_sharding(mesh)
-        params = jax.device_put(params, repl)
-        opt_state = jax.device_put(opt_state, repl)
+        params = mesh_lib.replicate_tree(params, mesh)
+        opt_state = mesh_lib.replicate_tree(opt_state, mesh)
 
     return args, model, params, optimizer, opt_state, epoch_start, root_key
+
+
+class _NullWriter:
+    """No-op SummaryWriter for non-main hosts (one writer per run)."""
+
+    def add_scalar(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
 
 
 def _mesh_size_for_batch(batch_size: int, n_available: int) -> int:
@@ -169,12 +180,24 @@ def run_training(args) -> float:
     n_avail = (args.num_devices if args.num_devices > 0
                else len(jax.devices()))
     mesh = _make_training_mesh(args.batch_size, n_avail)
-    print(f"Using mesh {mesh} on {jax.default_backend()}")
+    pc = jax.process_count()
+    is_main = jax.process_index() == 0
+    if pc > 1 and mesh.devices.size != len(jax.devices()):
+        raise ValueError(
+            f"multi-host training needs a batch size divisible across ALL "
+            f"{len(jax.devices())} devices (got {args.batch_size}); a "
+            f"partial mesh would exclude some process's devices")
+    print(f"Using mesh {mesh} on {jax.default_backend()}"
+          + (f" ({pc} processes)" if pc > 1 else ""))
 
     (args, model, params, optimizer, opt_state, epoch_start,
      root_key) = setup(args, mesh)
 
     data = _build_dataset(args, "train")
+    # Multi-host: each process splits/shuffles ITS file shard; the local
+    # per-step slice is global_batch / process_count samples, assembled
+    # into the global sharded batch by mesh_lib.shard_batch.
+    local_batch = mesh_lib.local_batch_size(args.batch_size)
     train_idx, val_idx = split_train_validation(len(data), 0.01, args.seed)
     print(f"Training samples: {len(train_idx)}.")
     print(f"Validation samples: {len(val_idx)}.")
@@ -193,15 +216,25 @@ def run_training(args) -> float:
 
     checkpoint_dir = pathlib.Path(args.model_dir)
     stats_dir = checkpoint_dir / "logs"
-    if args.retrain and stats_dir.exists():
+    if is_main and args.retrain and stats_dir.exists():
         shutil.rmtree(stats_dir)  # reference main.py:93-95
-    writer = SummaryWriter(str(stats_dir))
+    writer = (SummaryWriter(str(stats_dir)) if is_main
+              else _NullWriter())
 
     batch_size = args.batch_size
-    batch_count = max(1, int(math.ceil(len(train_idx) / batch_size)))
+    if pc > 1:
+        # Step count must be IDENTICAL across hosts (the train step is a
+        # collective program): derive it from global quantities every
+        # host knows, and wrap each host's local order to fill it.
+        global_train_len = int(math.ceil(data.global_file_count * 0.99))
+        batch_count = max(1, int(math.ceil(global_train_len / batch_size)))
+    else:
+        batch_count = max(1, int(math.ceil(len(train_idx) / batch_size)))
     last_loss = float("nan")
 
     def save(epoch):
+        # Multi-host: every process participates (Orbax coordinates the
+        # distributed write; only the main host writes the meta sidecar).
         Checkpoint.save(checkpoint_dir, params, opt_state, epoch,
                         args.model_type, args.use_coords,
                         args.omit_optimizer_state_save,
@@ -216,23 +249,40 @@ def run_training(args) -> float:
     timer = StepTimer(warmup=1)
     profile_dir = getattr(args, "profile_dir", None)
     profiling = False
+    compiled_step = None
     for epoch in range(epoch_start, args.epochs):
         order = np.array(train_idx)
         data._host_rng.shuffle(order)
-        data.prefetch(order[:batch_size])
+        if pc > 1:
+            # Wrap the local order so every host contributes a full local
+            # slice on every one of the batch_count collective steps.
+            order = np.resize(order, batch_count * local_batch)
+        step_size = local_batch if pc > 1 else batch_size
+        data.prefetch(order[:step_size])
         for i in range(batch_count):
-            idx = order[i * batch_size:(i + 1) * batch_size]
+            idx = order[i * step_size:(i + 1) * step_size]
             if len(idx) == 0:
                 continue
-            if len(idx) < batch_size:
+            if len(idx) < step_size:
                 # Pad the final batch to a full, evenly-shardable batch
                 # (static shapes; wraps around).
-                idx = np.resize(idx, batch_size)
+                idx = np.resize(idx, step_size)
             # Decode the NEXT batch on background threads while the device
             # runs this step.
             data.prefetch(
-                order[(i + 1) * batch_size:(i + 2) * batch_size])
+                order[(i + 1) * step_size:(i + 2) * step_size])
             raw = data.raw_batch(idx)
+            if pc > 1:
+                raw = mesh_lib.shard_batch(raw, mesh)
+                if compiled_step is None:
+                    # AOT-compile, then sync hosts BEFORE first execution:
+                    # per-host compile skew can exceed the collective
+                    # context-init timeout (Gloo's 30 s KV wait on CPU).
+                    key0 = jax.random.fold_in(root_key, 1)
+                    compiled_step = train_step.lower(
+                        params, opt_state, raw, key0).compile()
+                    mesh_lib.sync_hosts("train_step_compiled")
+                    train_step = compiled_step
             batch_index = epoch * batch_count + i
             key = jax.random.fold_in(root_key, batch_index + 1)
 
@@ -268,8 +318,21 @@ def run_training(args) -> float:
             save(epoch)
 
         if (epoch % args.validation_frequency == 0 and len(val_idx) > 0):
-            val_loss = _validation_loss(eval_steps, params, data, val_idx,
-                                        batch_size, root_key, epoch)
+            if pc > 1:
+                # Per-host local validation (single-device step, no
+                # collectives): host shards may have unequal validation
+                # counts, which would deadlock a collective eval program.
+                # Evaluate a host-local param copy so the jit stays local.
+                local_params = mesh_lib.fetch_local_tree(params)
+                local_steps = {local_batch: eval_steps["remainder"],
+                               "remainder": eval_steps["remainder"]}
+                val_loss = _validation_loss(local_steps, local_params,
+                                            data, val_idx, local_batch,
+                                            root_key, epoch)
+            else:
+                val_loss = _validation_loss(eval_steps, params, data,
+                                            val_idx, batch_size, root_key,
+                                            epoch)
             print(f"Epoch {epoch}, validation loss: {val_loss:f}")
             writer.add_scalar("val_loss", val_loss, epoch * batch_count)
 
@@ -295,6 +358,10 @@ def run_test(args, out_dir: Optional[str] = None,
     """
     (args, model, params, _optimizer, _opt_state, _epoch,
      root_key) = setup(args, None)
+    if jax.process_index() != 0:
+        # Multi-host: setup()'s checkpoint restore is coordinated across
+        # processes (all must participate), but one host writes outputs.
+        return []
 
     data = _build_dataset(args, "test")
     predict = make_predict_fn(model)

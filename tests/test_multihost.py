@@ -1,0 +1,79 @@
+"""True 2-process multi-host training on virtual CPU devices.
+
+Exercises the full multi-host trainer path (VERDICT r1 #8): per-host file
+shards, per-process batch slices assembled into the global 8-device mesh
+via make_array_from_process_local_data, Gloo collectives for the gradient
+all-reduce, coordinated Orbax save, main-host-only logs.
+"""
+
+import pathlib
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parents[1]
+
+
+def _launch(process_id: int, port: int, data_dir, model_dir):
+    cmd = [
+        sys.executable, "-m", "svbrdf_tpu.parallel.multihost",
+        "--coordinator", f"localhost:{port}",
+        "--num-processes", "2", "--process-id", str(process_id),
+        "--virtual-cpu-devices", "4", "--",
+        "--mode", "train",
+        "--input-dir", str(data_dir / "train"),
+        "--image-count", "10", "--used-image-count", "1",
+        "--image-size", "32", "--model-depth", "5", "--num-filters", "8",
+        "--batch-size", "8", "--epochs", "1", "--save-frequency", "1",
+        "--validation-frequency", "1",
+        "--model-dir", str(model_dir), "--retrain",
+    ]
+    return subprocess.Popen(cmd, cwd=str(REPO_ROOT),
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+
+
+@pytest.mark.slow
+def test_two_process_training(tmp_path):
+    from svbrdf_tpu.data import toy
+
+    data_dir = tmp_path / "data"
+    toy.generate_toy_dataset(str(data_dir), n_train=4, n_test=1, size=32,
+                             seed=17)
+    model_dir = tmp_path / "model"
+
+    procs = [_launch(i, 29871, data_dir, model_dir) for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=1500)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out[-4000:]}"
+
+    # Each process saw its own 2-file shard of the 4 train files.
+    assert "2 of 4 files" in outs[0] and "2 of 4 files" in outs[1]
+    assert "(2 processes)" in outs[0]
+
+    # The training loss is a global (all-reduced) scalar: both processes
+    # must print the SAME finite value.
+    losses = []
+    for out in outs:
+        vals = [float(line.rsplit("loss:", 1)[1])
+                for line in out.splitlines()
+                if line.startswith("Epoch") and "loss:" in line
+                and "validation" not in line]
+        assert vals, out[-2000:]
+        losses.append(vals)
+    assert losses[0] == losses[1]
+    assert all(np.isfinite(v) for v in losses[0])
+
+    # Coordinated checkpoint: one state tree + one meta sidecar.
+    assert (model_dir / "state").exists()
+    assert (model_dir / "meta.json").exists()
+    # Post-training viz ran only on the main host and produced grids.
+    grids = list((model_dir / "test_outputs").glob("sample_*.png"))
+    assert grids
+    assert outs[0].count("wrote") >= len(grids)
+    assert "test_outputs" not in outs[1]
