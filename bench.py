@@ -6,7 +6,12 @@ the same program the trainer runs. Baseline: the reference takes ~18 s
 per step for this configuration on its 1-GPU setup incl. CPU-side data
 synthesis (BASELINE.md; reference docs/index.html:1002).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline", "mfu_pct"}.
+mfu_pct = model FLOPs (conv/dense fwd+bwd, svbrdf_tpu/utils/flops.py) per
+second vs the 197 TFLOP/s bf16 peak of one v5e chip.
+
+BENCH_VARIANT=pathtracing benches config 4 instead (mixed loss through the
+JAX path tracer; reference baseline ~155 s/step, docs/index.html:1002).
 """
 
 import json
@@ -17,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_STEP_MS = 18000.0  # reference: ~1 h/epoch at ~197 steps/epoch
+BASELINE_PATHTRACE_MS = 155000.0  # reference: ~8.5 h/epoch (docs:1002)
 
 
 def main():
@@ -30,12 +36,13 @@ def main():
     from svbrdf_tpu.parallel.step import PrepConfig, make_train_step
 
     batch, size = 8, 256
-    dtype = jnp.bfloat16 if os.environ.get(
-        "BENCH_DTYPE", "bfloat16") == "bfloat16" else jnp.float32
+    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    variant = os.environ.get("BENCH_VARIANT", "local")
     mesh = make_mesh()
     model = SingleViewModel(use_coords=False, dtype=dtype)
     optimizer = optax.adam(1e-5)
-    loss_fn = losses.make_loss_fn("mixed", "local")
+    loss_fn = losses.make_loss_fn("mixed", variant)
     prep = PrepConfig(used_input_image_count=1, use_augmentation=True,
                       is_linear=False, mix_materials=True)
     step = make_train_step(model, optimizer, loss_fn, prep, mesh,
@@ -71,7 +78,7 @@ def main():
                                        jax.random.fold_in(key, i))
     float(loss)
 
-    n_steps = 50
+    n_steps = 50 if variant == "local" else 20
     t0 = time.perf_counter()
     for i in range(n_steps):
         params, opt_state, loss = step(params, opt_state, raw,
@@ -81,12 +88,26 @@ def main():
     assert np.isfinite(final_loss)
 
     step_ms = float(elapsed / n_steps * 1e3)
-    print(json.dumps({
+    from svbrdf_tpu.utils import flops as flops_lib
+
+    record = {
         "metric": "mixed_rendering_loss_train_step_b8_256",
         "value": round(step_ms, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_STEP_MS / step_ms, 1),
-    }))
+        # Model-FLOPs utilization (conv/dense fwd+bwd + shading estimate)
+        # against the 197 TFLOP/s bf16 peak of one v5e chip.
+        "mfu_pct": round(100 * flops_lib.mfu(
+            step_ms * 1e-3, batch=batch, image_size=size,
+            dtype=dtype_name), 1),
+    }
+    if variant != "local":
+        # The MC path tracer's sampling FLOPs aren't in the model-FLOPs
+        # basis; MFU would be meaningless here.
+        record["metric"] = "mixed_pathtracing_loss_train_step_b8_256"
+        record["vs_baseline"] = round(BASELINE_PATHTRACE_MS / step_ms, 1)
+        del record["mfu_pct"]
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

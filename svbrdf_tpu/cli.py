@@ -83,8 +83,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--learning-rate", dest="learning_rate", type=float,
                    default=1e-5, help="Adam learning rate.")
     p.add_argument("--dtype", dest="dtype",
-                   choices=["float32", "bfloat16"], default="float32",
-                   help="Model compute dtype (params stay float32).")
+                   choices=["auto", "float32", "bfloat16"], default="auto",
+                   help="Model compute dtype (params stay float32). "
+                        "'auto' = bfloat16 on TPU, float32 elsewhere — the "
+                        "same configuration bench.py measures.")
     p.add_argument("--num-devices", dest="num_devices", type=int, default=0,
                    help="Devices in the data mesh (0 = all).")
     p.add_argument("--model-depth", dest="model_depth", type=int, default=8,

@@ -34,6 +34,13 @@ class Generator(nn.Module):
     use_global_track: bool = True
     depth: int = 8
     dtype: Any = jnp.float32
+    # phase_tail: compute the LAST decoder block in a space-to-depth phase
+    # layout (layers.PhaseDecodingBlock) — same math and parameter tree, but
+    # the narrow-channel full-resolution tensors never materialize (a 14x
+    # lane-padding saving on TPU for 9-channel outputs). The spatial output
+    # is then (B, H/2, W/2, 4 * output_channels), phase-major; unpack with
+    # layers.phase_to_space.
+    phase_tail: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -83,9 +90,18 @@ class Generator(nn.Module):
             use_norm = i != d - 1
             use_dropout = i < 3
             skip = None if i == 0 else skips[d - 1 - i]
-            h, mean = L.DecodingBlock(
-                dec_feats[i], use_norm, use_dropout, True, dtype=dt,
-                name=f"dec{d - i}")(h, skip, g, deterministic=deterministic)
+            if self.phase_tail and i == d - 1:
+                if use_dropout:
+                    raise ValueError(
+                        "phase_tail requires depth > 3 (the last decoder "
+                        "block must be dropout-free)")
+                h, mean = L.PhaseDecodingBlock(
+                    dec_feats[i], dtype=dt, name=f"dec{d - i}")(h, skip, g)
+            else:
+                h, mean = L.DecodingBlock(
+                    dec_feats[i], use_norm, use_dropout, True, dtype=dt,
+                    name=f"dec{d - i}")(h, skip, g,
+                                        deterministic=deterministic)
             if use_gt:
                 g = L.GlobalTrack(gtd_out[i], dtype=dt,
                                   name=f"gtd{d - i}")(mean, g)

@@ -17,10 +17,12 @@ normalization statistics stay f32.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 
@@ -74,11 +76,14 @@ class InstanceNorm(nn.Module):
 class Merge(nn.Module):
     """Project the global-track vector and broadcast-add onto the feature map.
 
-    Reference models.py:30-46 (MergeLayer).
+    Reference models.py:30-46 (MergeLayer). `phases > 1` tiles the projected
+    vector across a phase-major space-to-depth channel layout
+    (see PhaseDecodingBlock) — same math, different data layout.
     """
 
     features: int
     dtype: Any = jnp.float32
+    phases: int = 1
 
     @nn.compact
     def __call__(self, x, global_track: Optional[jnp.ndarray]):
@@ -87,6 +92,8 @@ class Merge(nn.Module):
         g = nn.Dense(self.features, use_bias=False,
                      kernel_init=ENCDEC_LINEAR_INIT, dtype=self.dtype,
                      name="fc")(global_track)
+        if self.phases > 1:
+            g = jnp.tile(g, (1,) * (g.ndim - 1) + (self.phases,))
         return x + g[..., None, None, :]
 
 
@@ -163,9 +170,111 @@ def _pad_1212(x):
     return jnp.pad(x, ((0, 0), (1, 2), (1, 2), (0, 0)))
 
 
+# Tap-folding matrices for the upsample-aware decoder conv. A 4-tap conv
+# over a nearest-2x-upsampled, (1, 2)-padded signal reads at most 3 distinct
+# LOW-res pixels per output; which taps collapse onto the same source pixel
+# depends only on the output parity:
+#   even rows u=2v: sources {v-1: k0, v: k1+k2, v+1: k3}
+#   odd  rows u=2v+1: sources {v: k0+k1, v+1: k2+k3}
+# (and identically over columns), including the zero-pad boundaries, which
+# map exactly onto a 3-tap conv with padding 1 on the low-res signal.
+_FOLD_EVEN = np.array([[1, 0, 0, 0], [0, 1, 1, 0], [0, 0, 0, 1]], np.float32)
+_FOLD_ODD = np.array([[0, 0, 0, 0], [1, 1, 0, 0], [0, 0, 1, 1]], np.float32)
+
+
+def fold_upsample_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """(4, 4, Cin, Cout) kernel -> (3, 3, Cin, 4*Cout) phase-stacked kernel.
+
+    Output channel layout is (row_phase, col_phase, cout) flattened, matching
+    the depth-to-space unpacking in FoldedUpConv.
+    """
+    phases = [jnp.einsum("pi,ijcd,qj->pqcd", ma, k, mb)
+              for ma in (_FOLD_EVEN, _FOLD_ODD)
+              for mb in (_FOLD_EVEN, _FOLD_ODD)]
+    kp = jnp.stack(phases, axis=-2)  # (3, 3, Cin, 4, Cout)
+    return kp.reshape(kp.shape[:3] + (4 * k.shape[3],))
+
+
+def dilate_upsample_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """(4, 4, Cin, Cout) kernel -> (5, 5, Cin, Cout) for the lhs-dilated form.
+
+    nearest-2x upsample = conv(zero-dilate(x, 2), ones(2, 2)), so the whole
+    upsample+conv chain is one conv over the dilated input with
+    K5 = K (*) ones(2, 2) (full 2D convolution = sum of 4 shifted copies).
+    """
+    k5 = jnp.zeros((5, 5) + k.shape[2:], k.dtype)
+    k5 = k5.at[0:4, 0:4].add(k)
+    k5 = k5.at[0:4, 1:5].add(k)
+    k5 = k5.at[1:5, 0:4].add(k)
+    k5 = k5.at[1:5, 1:5].add(k)
+    return k5
+
+
+# Implementation selector for the decoder's upsample+conv (benchmarked on
+# v5e; all variants are mathematically identical — tests pin equivalence):
+#   'dilated': ONE lhs-dilated conv (dgrad-shaped; no upsampled intermediate,
+#              no extra copies) — default.
+#   'fold':    3x3 low-res conv with phase-stacked kernels + depth-to-space
+#              (fewest MACs but pays reshape/transpose copies).
+#   'naive':   materialized upsample + pad + 4x4 conv (reference shape).
+UPCONV_IMPL = os.environ.get("SVBRDF_UPCONV", "dilated")
+
+
+class FoldedUpConv(nn.Module):
+    """nearest-2x upsample + ZeroPad2d(1,2,1,2) + 4x4 VALID conv as a single
+    equivalent convolution (reference decoder chain, models.py:119-123).
+
+    Two algebraic rewrites are available (see UPCONV_IMPL): an lhs-dilated
+    5x5 conv (the transposed-conv/dgrad shape XLA:TPU has fast paths for)
+    and a phase-folded 3x3 low-res conv + depth-to-space (16/9 fewer MACs).
+    Both avoid materializing the 4x-sized upsampled intermediate in HBM and
+    are exact up to float reassociation of pre-summed kernel taps. The
+    parameter keeps the ORIGINAL (4, 4, Cin, Cout) layout under the same
+    'kernel' name, so checkpoints, init statistics and the torch interop
+    are unaffected.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        k = self.param("kernel", conv_kernel_init(),
+                       (4, 4, cin, self.features), jnp.float32)
+        impl = UPCONV_IMPL
+        if impl == "dilated":
+            k5 = dilate_upsample_kernel(k).astype(self.dtype)
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), k5, window_strides=(1, 1),
+                padding=((2, 3), (2, 3)), lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if impl == "fold":
+            kf = fold_upsample_kernel(k).astype(self.dtype)
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kf, window_strides=(1, 1),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            b, h, w, _ = y.shape
+            y = y.reshape(b, h, w, 2, 2, self.features)
+            y = y.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, 2 * h, 2 * w, self.features)
+            return y
+        if impl == "naive":
+            h = _pad_1212(upsample_nearest_2x(x.astype(self.dtype)))
+            return jax.lax.conv_general_dilated(
+                h, k.astype(self.dtype), window_strides=(1, 1),
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        raise ValueError(f"unknown SVBRDF_UPCONV '{impl}'")
+
+
 class DecodingBlock(nn.Module):
     """Skip-concat + pre-act + nearest-up + (pad+4x4 conv) x2 + IN + merge
     + optional dropout. Reference models.py:104-140 (DecodingLayer).
+
+    The first (upsample + pad + conv) is computed as a folded low-res conv
+    (FoldedUpConv) — same math, 16/9 fewer MACs, no upsampled intermediate.
 
     Returns (features, channel_mean). Dropout (p=0.5) only when
     `deterministic=False` (rng collection 'dropout').
@@ -183,11 +292,7 @@ class DecodingBlock(nn.Module):
             x = jnp.concatenate([x, skip], axis=-1)
         if self.use_activation:
             x = nn.leaky_relu(x, negative_slope=0.2)
-        x = upsample_nearest_2x(x)
-        x = _pad_1212(x)
-        x = nn.Conv(self.features, (4, 4), padding="VALID", use_bias=False,
-                    kernel_init=conv_kernel_init(), dtype=self.dtype,
-                    name="conv1")(x)
+        x = FoldedUpConv(self.features, dtype=self.dtype, name="conv1")(x)
         x = _pad_1212(x)
         x = nn.Conv(self.features, (4, 4), padding="VALID", use_bias=False,
                     kernel_init=conv_kernel_init(), dtype=self.dtype,
@@ -200,6 +305,104 @@ class DecodingBlock(nn.Module):
         if self.use_dropout:
             x = nn.Dropout(rate=0.5, deterministic=deterministic)(x)
         return x, mean
+
+
+# --- Phase-space (space-to-depth) decoder tail -----------------------------
+#
+# The final decoder level works on 9-channel tensors at full resolution;
+# XLA:TPU lays those out channel-minor and pads the lane dimension 9 -> 128,
+# a 14x memory blowup that made dec1 the single hottest step component
+# (~3.4 ms of a ~20 ms step). The fix: keep the last level's data in a
+# phase-major space-to-depth layout (B, H/2, W/2, 4*C) — 36 channels at a
+# quarter the area — and only unpack to (B, H, W, C) once at the very end.
+# Both convs of the level have exact algebraic equivalents in that layout.
+
+# Per-dimension tap mapping for the phase-space form of the second 4x4 conv:
+# output parity a and kernel tap i read source phase c at 3-tap position P.
+# Derived from out[2v+a] = sum_i K[i] * up[2v+a+i-1], up[2p+c] = phase c at p.
+_PHASE_TAP = {
+    0: [(1, 0), (0, 1), (1, 1), (0, 2)],  # a=0: t=a+i-1 in {-1,0,1,2}
+    1: [(0, 1), (1, 1), (0, 2), (1, 2)],  # a=1: t in {0,1,2,3}
+}
+
+
+def phase_conv_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """(4, 4, C, F) kernel of a pad(1,2)+4x4 conv on the UPSAMPLED grid ->
+    (3, 3, 4C, 4F) kernel of the equivalent conv on phase-major
+    space-to-depth data (channel layout (row_phase, col_phase, channel))."""
+    kh, kw, c, f = k.shape
+    kp = jnp.zeros((3, 3, 2, 2, c, 2, 2, f), k.dtype)
+    for a in (0, 1):
+        for i in range(4):
+            ci, p = _PHASE_TAP[a][i]
+            for b in (0, 1):
+                for j in range(4):
+                    dj, q = _PHASE_TAP[b][j]
+                    kp = kp.at[p, q, ci, dj, :, a, b, :].add(k[i, j])
+    return kp.reshape(3, 3, 4 * c, 4 * f)
+
+
+def phase_to_space(y: jnp.ndarray, features: int) -> jnp.ndarray:
+    """(B, h, w, 4*F) phase-major rep -> (B, 2h, 2w, F) spatial tensor."""
+    b, h, w, _ = y.shape
+    y = y.reshape(b, h, w, 2, 2, features)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, features)
+
+
+class _Kernel(nn.Module):
+    """Bare conv-kernel parameter holder; mirrors nn.Conv's param path
+    (<name>/kernel) so phase-space blocks stay checkpoint-compatible."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", conv_kernel_init(), self.shape,
+                          jnp.float32)
+
+
+class PhaseDecodingBlock(nn.Module):
+    """The FINAL decoder block computed entirely in phase space.
+
+    Semantics identical to DecodingBlock(use_norm=False, use_dropout=False)
+    — the reference's last DecodingLayer (models.py:248,275) — but the
+    output stays in the (B, H/2, W/2, 4*features) phase-major layout;
+    callers unpack with phase_to_space (or keep processing per-phase:
+    tanh/decode are pixel-wise and phase-safe). Parameter tree is identical
+    to DecodingBlock's (conv1/kernel, conv2/kernel, merge/fc/kernel), so
+    checkpoints and the torch interop are unaffected.
+    Returns (phase_rep, channel_mean).
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip, global_track):
+        if skip is not None:
+            x = jnp.concatenate([x, skip], axis=-1)
+        x = nn.leaky_relu(x, negative_slope=0.2)
+        cin = x.shape[-1]
+        f = self.features
+        # conv1: upsample+pad+4x4 == folded 3x3 conv emitting phase channels.
+        k1 = _Kernel((4, 4, cin, f), name="conv1")()
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), fold_upsample_kernel(k1).astype(self.dtype),
+            window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # conv2: pad(1,2)+4x4 on the upsampled grid == 3x3 conv in phase space.
+        k2 = _Kernel((4, 4, f, f), name="conv2")()
+        y = jax.lax.conv_general_dilated(
+            y, phase_conv_kernel(k2).astype(self.dtype),
+            window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # Pre-norm channel-mean tap: per TRUE channel over (H, W, phases).
+        b, h, w, _ = y.shape
+        mean = jnp.mean(y.astype(jnp.float32).reshape(b, h, w, 4, f),
+                        axis=(1, 2, 3))
+        y = Merge(f, dtype=self.dtype, phases=4, name="merge")(
+            y, global_track)
+        return y, mean
 
 
 class ConvFeatureBlock(nn.Module):

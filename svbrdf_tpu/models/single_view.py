@@ -39,8 +39,18 @@ class SingleViewModel(nn.Module):
     def __call__(self, images, deterministic: bool = True):
         if images.ndim == 5:  # (B, N, H, W, 3) -> first view only
             images = images[:, 0]
+        # phase_tail keeps the 9-channel full-res tensors in a space-to-
+        # depth layout through the last decoder level AND the head (tanh +
+        # decode are pixel-wise, so they commute with the layout); the
+        # spatial unpack happens exactly once, on the final 12-channel maps.
+        phase_tail = self.depth > 3
         sv9, _ = Generator(9, num_filters=self.num_filters,
                            use_coords=self.use_coords, depth=self.depth,
-                           dtype=self.dtype,
+                           dtype=self.dtype, phase_tail=phase_tail,
                            name="generator")(images, deterministic)
-        return head_to_svbrdf(sv9)
+        if not phase_tail:
+            return head_to_svbrdf(sv9)
+        b, h, w, _ = sv9.shape
+        svbrdf_phase = head_to_svbrdf(sv9.reshape(b, h, w, 4, 9))
+        from svbrdf_tpu.models import layers as L
+        return L.phase_to_space(svbrdf_phase.reshape(b, h, w, 48), 12)

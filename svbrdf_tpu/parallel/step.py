@@ -44,14 +44,52 @@ def _prepare(key, raw_batch, prep: PrepConfig):
     )
 
 
+class AutoLayoutStep:
+    """Train step compiled with AUTO layouts for the donated state args.
+
+    By default XLA assigns the jit-boundary layout to params/opt_state,
+    then inserts per-step relayout copies for every conv kernel whose
+    compute layout differs (~2.4 ms/step for the 256^2 U-Net on v5e).
+    Compiling with `Format(Layout.AUTO)` on the state arguments lets the
+    compiler pick ONE layout used both at the boundary and in compute; the
+    state is re-laid-out once, on the first call, and the in/out layouts
+    match so donation stays copy-free.
+    """
+
+    def __init__(self, jitted):
+        self._jit = jitted
+        self._compiled = None
+
+    def lower(self, *args):
+        return self._jit.lower(*args)
+
+    def __call__(self, params, opt_state, raw_batch, key):
+        if self._compiled is None:
+            # AUTO-layout lowering needs abstract args (concrete arrays
+            # carry a committed layout, which would conflict).
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype),
+                (params, opt_state, raw_batch, key))
+            self._compiled = self._jit.lower(*abstract).compile()
+            fmts = self._compiled.input_formats[0]
+            params = jax.device_put(params, fmts[0])
+            opt_state = jax.device_put(opt_state, fmts[1])
+        return self._compiled(params, opt_state, raw_batch, key)
+
+
 def make_train_step(model, optimizer: optax.GradientTransformation,
                     loss_fn: Callable, prep: PrepConfig,
-                    mesh=None, donate: bool = True):
+                    mesh=None, donate: bool = True,
+                    auto_layout: bool = None):
     """Build the jitted train step.
 
     step(params, opt_state, raw_batch, key) -> (params, opt_state, loss).
     raw_batch: {'inputs': (B, N, H, W, 3), 'svbrdf': (B, H, W, 12)
                 [, 'partner_svbrdf': (B, H, W, 12)]} host-decoded strips.
+    auto_layout (None = on for single-process TPU runs) wraps the step in
+    AutoLayoutStep, which removes XLA's per-step conv-kernel relayout
+    copies. The wrapper AOT-compiles on first call; multi-host runs manage
+    compilation themselves (loop.py) and keep the plain jit.
     """
 
     def step(params, opt_state, raw_batch, key):
@@ -69,16 +107,30 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
         new_params = optax.apply_updates(params, updates)
         return new_params, new_opt_state, loss
 
+    donate_args = (0, 1) if donate else ()
+    if auto_layout is None:
+        auto_layout = (jax.default_backend() == "tpu"
+                       and jax.process_count() == 1)
+
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+        return jax.jit(step, donate_argnums=donate_args)
 
     repl = mesh_lib.replicated_sharding(mesh)
     data = mesh_lib.batch_sharding(mesh)
+    if auto_layout:
+        from jax.experimental.layout import Format, Layout
+
+        auto = Format(Layout.AUTO, repl)
+        jitted = jax.jit(step,
+                         in_shardings=(auto, auto, data, repl),
+                         out_shardings=(auto, auto, repl),
+                         donate_argnums=donate_args)
+        return AutoLayoutStep(jitted)
     return jax.jit(
         step,
         in_shardings=(repl, repl, data, repl),
         out_shardings=(repl, repl, repl),
-        donate_argnums=(0, 1) if donate else (),
+        donate_argnums=donate_args,
     )
 
 

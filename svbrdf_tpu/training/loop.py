@@ -36,6 +36,16 @@ from svbrdf_tpu.training.tensorboard import SummaryWriter
 DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
 
+def resolve_dtype(name: str) -> jnp.dtype:
+    """'auto' = bf16 on TPU (the benched configuration; toy-run loss parity
+    with f32 validated in STATUS.md), f32 elsewhere (CPU bf16 is emulated
+    and slow, and the parity test oracle is f32)."""
+    if name == "auto":
+        name = ("bfloat16" if jax.default_backend() == "tpu"
+                else "float32")
+    return DTYPES[name]
+
+
 def _build_dataset(args, mode: str) -> SvbrdfDataset:
     return SvbrdfDataset(
         data_directory=args.input_dir,
@@ -92,7 +102,7 @@ def setup(args, mesh=None):
         args = checkpoint.restore_args(args)
 
     model = build_model(args.model_type, use_coords=args.use_coords,
-                        dtype=DTYPES[args.dtype],
+                        dtype=resolve_dtype(args.dtype),
                         depth=getattr(args, "model_depth", 8),
                         num_filters=getattr(args, "num_filters", 64))
 

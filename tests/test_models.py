@@ -72,6 +72,48 @@ class TestLayerPrimitives:
         assert ours.shape == theirs.shape == (1, 8, 8, 5)
         np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-5)
 
+    @pytest.mark.parametrize("impl", ["dilated", "fold"])
+    def test_folded_upconv_matches_naive_chain(self, impl, monkeypatch):
+        """FoldedUpConv == upsample + pad(1,2,1,2) + 4x4 VALID conv, values
+        AND gradients, for BOTH algebraic rewrites (the decoder uses one of
+        them; this pins the tap-folding to the reference chain,
+        models.py:119-123)."""
+        monkeypatch.setattr(L, "UPCONV_IMPL", impl)
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((2, 6, 5, 3)).astype(np.float32))
+        k = jnp.asarray(
+            (0.1 * rng.standard_normal((4, 4, 3, 8))).astype(np.float32))
+
+        def naive(x, k):
+            h = L.upsample_nearest_2x(x)
+            h = L._pad_1212(h)
+            return jax.lax.conv_general_dilated(
+                h, k, window_strides=(1, 1), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=jax.lax.Precision.HIGHEST)
+
+        def folded(x, k):
+            mod = L.FoldedUpConv(features=8)
+            with jax.default_matmul_precision("highest"):
+                return mod.apply({"params": {"kernel": k}}, x)
+
+        ours = folded(x, k)
+        ref = naive(x, k)
+        assert ours.shape == ref.shape == (2, 12, 10, 8)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=2e-6)
+
+        # Gradients through both paths agree too.
+        gx_f, gk_f = jax.grad(lambda x, k: jnp.sum(jnp.sin(folded(x, k))),
+                              argnums=(0, 1))(x, k)
+        gx_n, gk_n = jax.grad(lambda x, k: jnp.sum(jnp.sin(naive(x, k))),
+                              argnums=(0, 1))(x, k)
+        np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_n),
+                                   atol=1e-5)
+        # kernel grads reduce over batch*space: allow reassociation noise
+        np.testing.assert_allclose(np.asarray(gk_f), np.asarray(gk_n),
+                                   rtol=1e-5, atol=1e-4)
+
     def test_append_coords(self):
         x = jnp.zeros((2, 4, 6, 3))
         out = L.append_coords(x)

@@ -240,3 +240,49 @@ class TestDeterminism:
         assert l1 == l2
         for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
             np.testing.assert_array_equal(a, b)
+
+
+class TestAutoLayoutStep:
+    def test_matches_plain_step(self):
+        """auto_layout=True (AUTO compiler-chosen layouts for the donated
+        state) produces the same loss trajectory as the plain jitted step.
+        On TPU this removes ~2.4 ms/step of conv-kernel relayout copies;
+        here we only pin functional equivalence on the CPU mesh."""
+        import numpy as np
+        import optax
+
+        from svbrdf_tpu import losses
+        from svbrdf_tpu.models import SingleViewModel
+        from svbrdf_tpu.parallel import make_mesh
+        from svbrdf_tpu.parallel import mesh as mesh_lib
+        from svbrdf_tpu.parallel.step import (AutoLayoutStep, PrepConfig,
+                                              make_train_step)
+
+        mesh = make_mesh(n_devices=2)
+        model = SingleViewModel(num_filters=4, depth=4)
+        optimizer = optax.adam(1e-4)
+        loss_fn = losses.make_loss_fn("mixed", "local", fused=False)
+        prep = PrepConfig(1, True, False, False)
+
+        rng = np.random.default_rng(0)
+        sv = rng.uniform(0.1, 0.9, (2, 16, 16, 12)).astype(np.float32)
+        raw = {"inputs": np.zeros((2, 0, 16, 16, 3), np.float32),
+               "svbrdf": sv}
+        raw = mesh_lib.shard_batch(raw, mesh)
+        key = jax.random.key(313)
+
+        losses_out = []
+        for auto in (False, True):
+            step = make_train_step(model, optimizer, loss_fn, prep, mesh,
+                                   donate=False, auto_layout=auto)
+            assert isinstance(step, AutoLayoutStep) == auto
+            params = model.init(jax.random.fold_in(key, 1),
+                                jnp.zeros((1, 1, 16, 16, 3)))["params"]
+            opt_state = optimizer.init(params)
+            traj = []
+            for i in range(2):
+                params, opt_state, loss = step(
+                    params, opt_state, raw, jax.random.fold_in(key, i))
+                traj.append(float(loss))
+            losses_out.append(traj)
+        assert losses_out[0] == losses_out[1]
