@@ -14,6 +14,7 @@ Returns (spatial map (B, H, W, out_channels), global vector (B, out_channels)).
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax.numpy as jnp
@@ -86,17 +87,27 @@ class Generator(nn.Module):
                                   name=f"gte{i + 1}")(mean, g)
 
         # --- Decoder + global track (reference models.py:303-318) ---
+        # phase_tail: the last decoder level runs in phase space (it must be
+        # dropout-free, i.e. i >= 3; reference models.py:241-243). Two-level
+        # phase (SVBRDF_PHASE_LEVELS=2, depth >= 5) also phases the
+        # second-to-last level — measured SLOWER on v5e at 64 channels (the
+        # phase-space conv2 carries a structural 2.25x MAC overhead that
+        # only narrow-channel levels amortize), kept for experimentation.
+        if self.phase_tail and d <= 3:
+            raise ValueError("phase_tail requires depth > 3 (the last "
+                             "decoder block must be dropout-free)")
+        two_level = (os.environ.get("SVBRDF_PHASE_LEVELS", "1") == "2"
+                     and d >= 5)
+        phase_from = (d - 2 if two_level else d - 1) if self.phase_tail else d
         for i in range(d):
             use_norm = i != d - 1
             use_dropout = i < 3
             skip = None if i == 0 else skips[d - 1 - i]
-            if self.phase_tail and i == d - 1:
-                if use_dropout:
-                    raise ValueError(
-                        "phase_tail requires depth > 3 (the last decoder "
-                        "block must be dropout-free)")
+            if i >= phase_from:
                 h, mean = L.PhaseDecodingBlock(
-                    dec_feats[i], dtype=dt, name=f"dec{d - i}")(h, skip, g)
+                    dec_feats[i], use_norm=use_norm,
+                    phase_input=(i > phase_from), dtype=dt,
+                    name=f"dec{d - i}")(h, skip, g)
             else:
                 h, mean = L.DecodingBlock(
                     dec_feats[i], use_norm, use_dropout, True, dtype=dt,

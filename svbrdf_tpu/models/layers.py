@@ -57,17 +57,42 @@ class InstanceNorm(nn.Module):
 
     eps: float = 1e-5
     dtype: Any = jnp.float32
+    # phases > 1: x is a phase-major space-to-depth rep (B, h, w, phases*C);
+    # statistics run per TRUE channel over (h, w, phases) — identical math
+    # to normalizing the spatial tensor.
+    phases: int = 1
 
     @nn.compact
     def __call__(self, x):
+        if self.phases > 1:
+            b, h, w, pc = x.shape
+            features = pc // self.phases
+            scale = self.param("scale", nn.initializers.ones, (features,),
+                               jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (features,),
+                              jnp.float32)
+            x32 = x.astype(jnp.float32).reshape(b, h, w, self.phases,
+                                                features)
+            mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
+            mean_sq = jnp.mean(jnp.square(x32), axis=(1, 2, 3),
+                               keepdims=True)
+            var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+            y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+            y = y * scale + bias
+            return y.reshape(b, h, w, pc).astype(self.dtype)
         features = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (features,),
                            jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (features,),
                           jnp.float32)
         x32 = x.astype(jnp.float32)
+        # Single-pass statistics: E[x^2] - E[x]^2 lets XLA fuse both
+        # reductions into ONE read of x (jnp.var's two-pass form reads it
+        # twice); cancellation is benign at activation scales, matching
+        # cuDNN's own one-pass InstanceNorm.
         mean = jnp.mean(x32, axis=(-3, -2), keepdims=True)
-        var = jnp.var(x32, axis=(-3, -2), keepdims=True)
+        mean_sq = jnp.mean(jnp.square(x32), axis=(-3, -2), keepdims=True)
+        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
         y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
         y = y * scale + bias
         return y.astype(self.dtype)
@@ -325,6 +350,14 @@ _PHASE_TAP = {
     1: [(0, 1), (1, 1), (0, 2), (1, 2)],  # a=1: t in {0,1,2,3}
 }
 
+# Same idea for a 3-TAP (pad-1) conv whose INPUT arrives in phase form:
+# out[2V+e] = sum_P K[P] * x[2V+e+P-1]; with x[2V'+c] = phase c at V',
+# tap t = e+P-1 maps to (c = t mod 2, D = floor(t/2) + 1).
+_PHASE_TAP3 = {
+    0: [(1, 0), (0, 1), (1, 1)],  # e=0: t in {-1, 0, 1}
+    1: [(0, 1), (1, 1), (0, 2)],  # e=1: t in {0, 1, 2}
+}
+
 
 def phase_conv_kernel(k: jnp.ndarray) -> jnp.ndarray:
     """(4, 4, C, F) kernel of a pad(1,2)+4x4 conv on the UPSAMPLED grid ->
@@ -342,11 +375,47 @@ def phase_conv_kernel(k: jnp.ndarray) -> jnp.ndarray:
     return kp.reshape(3, 3, 4 * c, 4 * f)
 
 
+def phase_input_kernel(k3: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, C, F) pad-1 conv kernel -> (3, 3, 4C, 4F) kernel consuming
+    phase-major input and emitting phase-major output (the conv's own
+    output parity becomes the outer phase of the result)."""
+    _, _, c, f = k3.shape
+    kp = jnp.zeros((3, 3, 2, 2, c, 2, 2, f), k3.dtype)
+    for e in (0, 1):
+        for p in range(3):
+            ci, dpos = _PHASE_TAP3[e][p]
+            for f_ph in (0, 1):
+                for q in range(3):
+                    dj, epos = _PHASE_TAP3[f_ph][q]
+                    kp = kp.at[dpos, epos, ci, dj, :, e, f_ph, :].add(
+                        k3[p, q])
+    return kp.reshape(3, 3, 4 * c, 4 * f)
+
+
 def phase_to_space(y: jnp.ndarray, features: int) -> jnp.ndarray:
     """(B, h, w, 4*F) phase-major rep -> (B, 2h, 2w, F) spatial tensor."""
     b, h, w, _ = y.shape
     y = y.reshape(b, h, w, 2, 2, features)
     return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, features)
+
+
+def space_to_phase(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, 2h, 2w, C) spatial tensor -> (B, h, w, 4*C) phase-major rep
+    (inverse of phase_to_space)."""
+    b, h2, w2, c = x.shape
+    x = x.reshape(b, h2 // 2, 2, w2 // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, h2 // 2, w2 // 2, 4 * c)
+
+
+def phase_concat(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Channel-concat of two phase-major reps so the result is the phase
+    rep of the SPATIAL concat: interleave per phase, not per block."""
+    b, h, w, cx = x.shape
+    cy = y.shape[-1]
+    out = jnp.concatenate([x.reshape(b, h, w, 4, cx // 4),
+                           y.reshape(b, h, w, 4, cy // 4)], axis=-1)
+    return out.reshape(b, h, w, cx + cy)
 
 
 class _Kernel(nn.Module):
@@ -362,34 +431,59 @@ class _Kernel(nn.Module):
 
 
 class PhaseDecodingBlock(nn.Module):
-    """The FINAL decoder block computed entirely in phase space.
+    """A decoder block computed entirely in phase space.
 
-    Semantics identical to DecodingBlock(use_norm=False, use_dropout=False)
-    — the reference's last DecodingLayer (models.py:248,275) — but the
+    Semantics identical to DecodingBlock(use_dropout=False) — but the
     output stays in the (B, H/2, W/2, 4*features) phase-major layout;
     callers unpack with phase_to_space (or keep processing per-phase:
-    tanh/decode are pixel-wise and phase-safe). Parameter tree is identical
-    to DecodingBlock's (conv1/kernel, conv2/kernel, merge/fc/kernel), so
-    checkpoints and the torch interop are unaffected.
+    norms, merges, tanh/decode are all phase-safe). Parameter tree is
+    identical to DecodingBlock's (conv1/kernel, conv2/kernel, norm,
+    merge/fc/kernel), so checkpoints and the torch interop are unaffected.
+
+    phase_input=True consumes a phase-major input (the previous decoder
+    block also ran in phase space); the skip (always spatial, from the
+    encoder) is space-to-depth'd and interleave-concatenated. conv1 then
+    runs at the SAME grid with 4x the channels — identical MACs, no
+    narrow-lane tensors anywhere.
+
     Returns (phase_rep, channel_mean).
     """
 
     features: int
+    use_norm: bool = False
+    phase_input: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, skip, global_track):
         if skip is not None:
-            x = jnp.concatenate([x, skip], axis=-1)
+            skip = space_to_phase(skip) if self.phase_input else skip
+            x = (phase_concat(x, skip) if self.phase_input
+                 else jnp.concatenate([x, skip], axis=-1))
         x = nn.leaky_relu(x, negative_slope=0.2)
-        cin = x.shape[-1]
         f = self.features
-        # conv1: upsample+pad+4x4 == folded 3x3 conv emitting phase channels.
-        k1 = _Kernel((4, 4, cin, f), name="conv1")()
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), fold_upsample_kernel(k1).astype(self.dtype),
-            window_strides=(1, 1), padding=((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.phase_input:
+            cin = x.shape[-1] // 4
+            k1 = _Kernel((4, 4, cin, f), name="conv1")()
+            # folded 3x3 conv, then re-expressed for phase-major input;
+            # output phases are (outer spatial parity, inner conv1 phase).
+            kk = phase_input_kernel(fold_upsample_kernel(k1))
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kk.astype(self.dtype),
+                window_strides=(1, 1), padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            # Unpack the OUTER phase level: (B, h, w, 4*(4f)) -> spatial
+            # (B, 2h, 2w, 4f), which is the standard phase rep for conv2.
+            y = phase_to_space(y, 4 * f)
+        else:
+            cin = x.shape[-1]
+            # conv1: upsample+pad+4x4 == folded 3x3 conv emitting phases.
+            k1 = _Kernel((4, 4, cin, f), name="conv1")()
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                fold_upsample_kernel(k1).astype(self.dtype),
+                window_strides=(1, 1), padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         # conv2: pad(1,2)+4x4 on the upsampled grid == 3x3 conv in phase space.
         k2 = _Kernel((4, 4, f, f), name="conv2")()
         y = jax.lax.conv_general_dilated(
@@ -400,6 +494,8 @@ class PhaseDecodingBlock(nn.Module):
         b, h, w, _ = y.shape
         mean = jnp.mean(y.astype(jnp.float32).reshape(b, h, w, 4, f),
                         axis=(1, 2, 3))
+        if self.use_norm:
+            y = InstanceNorm(dtype=self.dtype, phases=4, name="norm")(y)
         y = Merge(f, dtype=self.dtype, phases=4, name="merge")(
             y, global_track)
         return y, mean

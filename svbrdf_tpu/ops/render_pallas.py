@@ -46,23 +46,19 @@ def pack_scenes(scenes: Scene) -> jnp.ndarray:
         axis=-1).astype(jnp.float32)
 
 
-def _shade_planes(planes, cam, light, color, x, y):
-    """Cook-Torrance shade of one SVBRDF tile under one point-light scene.
+def _scene_geometry(cam, light, x, y):
+    """Per-scene, SVBRDF-independent geometry of one tile.
 
-    planes: (12, TH, W) channel planes; cam/light/color: length-3 vectors;
-    x, y: (TH, W) patch coordinates. Returns 3 radiance planes (3, TH, W).
-    Same math as ops/render.py:render (reference renderers.py:67-104).
+    Returns (v, l, h, dist_sq, VH-terms) shared by the pred and gt shades
+    of the same scene — computing it once halves the vector-normalization
+    work per scene pair.
     """
-    nx, ny, nz = planes[0], planes[1], planes[2]
-
-    # View direction (camera - surface), normalized.
     vx = cam[0] - x
     vy = cam[1] - y
     vz = cam[2] - jnp.zeros_like(x)
     inv_v = jax.lax.rsqrt(vx * vx + vy * vy + vz * vz)
     vx, vy, vz = vx * inv_v, vy * inv_v, vz * inv_v
 
-    # Light direction + squared distance (for 1/d^2 falloff).
     lx = light[0] - x
     ly = light[1] - y
     lz = light[2] - jnp.zeros_like(x)
@@ -70,21 +66,35 @@ def _shade_planes(planes, cam, light, color, x, y):
     inv_l = jax.lax.rsqrt(dist_sq)
     lx, ly, lz = lx * inv_l, ly * inv_l, lz * inv_l
 
-    # Half vector.
     hx, hy, hz = (vx + lx) * 0.5, (vy + ly) * 0.5, (vz + lz) * 0.5
     inv_h = jax.lax.rsqrt(hx * hx + hy * hy + hz * hz)
     hx, hy, hz = hx * inv_h, hy * inv_h, hz * inv_h
+
+    VH = jnp.maximum(vx * hx + vy * hy + vz * hz, _EPS)
+    LH = jnp.maximum(lx * hx + ly * hy + lz * hz, _EPS)
+    one_minus_vh5 = (1.0 - VH) ** 5
+    return ((vx, vy, vz), (lx, ly, lz), (hx, hy, hz), dist_sq,
+            VH, LH, one_minus_vh5)
+
+
+def _shade_planes(planes, geom, color):
+    """Cook-Torrance shade of one SVBRDF tile under one point-light scene.
+
+    planes: (12, TH, W) channel planes; geom: precomputed _scene_geometry;
+    color: length-3 vector. Returns 3 radiance planes (3, TH, W).
+    Same math as ops/render.py:render (reference renderers.py:67-104).
+    """
+    ((vx, vy, vz), (lx, ly, lz), (hx, hy, hz), dist_sq, VH, LH,
+     one_minus_vh5) = geom
+    nx, ny, nz = planes[0], planes[1], planes[2]
 
     def cdot(ax, ay, az, bx, by, bz):
         return jnp.maximum(ax * bx + ay * by + az * bz, _EPS)
 
     NH = cdot(nx, ny, nz, hx, hy, hz)
-    VH = cdot(vx, vy, vz, hx, hy, hz)
-    LH = cdot(lx, ly, lz, hx, hy, hz)
     VN = cdot(vx, vy, vz, nx, ny, nz)
     LN = cdot(lx, ly, lz, nx, ny, nz)
 
-    one_minus_vh5 = (1.0 - VH) ** 5
     NH_sq = NH * NH
     ln_pos = jnp.maximum(lx * nx + ly * ny + lz * nz, 0.0)
     scale = ln_pos / dist_sq  # cos * falloff
@@ -137,8 +147,9 @@ def _scene_loss_sum(pred_tile, gt_tile, scene_vec, x, y):
     cam = scene_vec[0:3]
     light = scene_vec[3:6]
     color = scene_vec[6:9]
-    rp = _shade_planes(pred_tile, cam, light, color, x, y)
-    rt = _shade_planes(gt_tile, cam, light, color, x, y)
+    geom = _scene_geometry(cam, light, x, y)
+    rp = _shade_planes(pred_tile, geom, color)
+    rt = _shade_planes(gt_tile, geom, color)
     total = jnp.zeros((), jnp.float32)
     for c in range(3):
         diff = (jnp.log(rp[c] + EPSILON_RENDER)
@@ -197,6 +208,27 @@ def _bwd_kernel(scene_ref, pred_ref, gt_ref, g_ref, dpred_ref, dgt_ref, *,
     dgt_ref[0] = dt * g
 
 
+def _bwd_kernel_pred_only(scene_ref, pred_ref, gt_ref, g_ref, dpred_ref, *,
+                          tile_h, tile_w, height, width, n_scenes):
+    """Backward for pred only: the gt tile still enters the PRIMAL shade
+    (the |.| sign depends on it) but its reverse sweep is skipped — in
+    training the target is data, never a function of params (the torch
+    reference likewise never computes target grads)."""
+    row0 = pl.program_id(1) * tile_h
+    col0 = pl.program_id(2) * tile_w
+    pred_tile = pred_ref[0]
+    gt_tile = gt_ref[0]
+    x, y = _patch_xy(pred_tile.shape[1:], row0, col0, height, width)
+
+    def body(s, acc):
+        dp = jax.grad(_scene_loss_sum, argnums=0)(
+            pred_tile, gt_tile, _read_scene(scene_ref, s), x, y)
+        return acc + dp
+
+    dp = jax.lax.fori_loop(0, n_scenes, body, jnp.zeros_like(pred_tile))
+    dpred_ref[0] = dp * g_ref[0, 0]
+
+
 def _grid_call(kernel, pred_t, gt_t, scenes9, extra_inputs, extra_specs,
                out_shape, out_specs, tile_h, tile_w, interpret):
     batch, _, height, width = pred_t.shape
@@ -226,8 +258,8 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _fused_loss_planes(pred_t, gt_t, scenes9, tile_h, tile_w):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_loss_planes(pred_t, gt_t, scenes9, tile_h, tile_w, want_dgt):
     return _fused_fwd_value(pred_t, gt_t, scenes9, tile_h, tile_w)
 
 
@@ -246,12 +278,12 @@ def _fused_fwd_value(pred_t, gt_t, scenes9, tile_h, tile_w):
     return jnp.sum(partials) / count
 
 
-def _fused_fwd(pred_t, gt_t, scenes9, tile_h, tile_w):
+def _fused_fwd(pred_t, gt_t, scenes9, tile_h, tile_w, want_dgt):
     return _fused_fwd_value(pred_t, gt_t, scenes9, tile_h, tile_w), (
         pred_t, gt_t, scenes9)
 
 
-def _fused_bwd(tile_h, tile_w, residuals, g):
+def _fused_bwd(tile_h, tile_w, want_dgt, residuals, g):
     pred_t, gt_t, scenes9 = residuals
     batch, _, height, width = pred_t.shape
     count = batch * scenes9.shape[1] * height * width * 3
@@ -262,13 +294,23 @@ def _fused_bwd(tile_h, tile_w, residuals, g):
     svbrdf_out = pl.BlockSpec((1, 12, tile_h, tile_w),
                               lambda b, h, w: (b, 0, h, w),
                               memory_space=pltpu.VMEM)
-    dpred, dgt = _grid_call(
-        _bwd_kernel, pred_t, gt_t, scenes9, [g_scaled], [g_spec],
-        (jax.ShapeDtypeStruct(pred_t.shape, jnp.float32),
-         jax.ShapeDtypeStruct(gt_t.shape, jnp.float32)),
-        (svbrdf_out, svbrdf_out),
+    if want_dgt:
+        dpred, dgt = _grid_call(
+            _bwd_kernel, pred_t, gt_t, scenes9, [g_scaled], [g_spec],
+            (jax.ShapeDtypeStruct(pred_t.shape, jnp.float32),
+             jax.ShapeDtypeStruct(gt_t.shape, jnp.float32)),
+            (svbrdf_out, svbrdf_out),
+            tile_h, tile_w, _use_interpret())
+        return dpred, dgt, None
+    dpred = _grid_call(
+        _bwd_kernel_pred_only, pred_t, gt_t, scenes9, [g_scaled], [g_spec],
+        jax.ShapeDtypeStruct(pred_t.shape, jnp.float32),
+        svbrdf_out,
         tile_h, tile_w, _use_interpret())
-    return dpred, dgt, None
+    # The gt cotangent is structurally required but sliced off upstream:
+    # rendering_loss_fused stop-gradients the target in this mode, so AD
+    # discards this value — it can never leak as a (wrong) zero gradient.
+    return dpred, jnp.zeros_like(gt_t), None
 
 
 _fused_loss_planes.defvjp(_fused_fwd, _fused_bwd)
@@ -280,7 +322,8 @@ MAX_TILE_W = 512  # keeps the backward kernel's scoped VMEM under 16 MB
 def rendering_loss_fused(pred: jnp.ndarray, target: jnp.ndarray,
                          scenes: Scene,
                          tile_h: int = DEFAULT_TILE_H,
-                         tile_w: int = 0) -> jnp.ndarray:
+                         tile_w: int = 0,
+                         want_target_grad: bool = False) -> jnp.ndarray:
     """Fused rendering loss over per-item scene sets.
 
     pred/target: (B, H, W, 12) channels-last SVBRDFs; scenes: Scene with
@@ -288,9 +331,17 @@ def rendering_loss_fused(pred: jnp.ndarray, target: jnp.ndarray,
     scene set (tested), with O(tile) VMEM — both H and W are tiled, so
     arbitrary resolutions (tested to 1024^2) fit the 16 MB VMEM budget.
     tile_w=0 -> min(width, MAX_TILE_W).
+
+    want_target_grad=False (default) skips the target's reverse sweep in
+    the backward kernel (~25% less bwd work) and stop-gradients the target
+    — matching training, where the target is data (the torch reference's
+    target never requires grad either). Pass True to differentiate wrt the
+    target (e.g. map-recovery style experiments on the target slot).
     """
     pred_t = jnp.transpose(pred.astype(jnp.float32), (0, 3, 1, 2))
     gt_t = jnp.transpose(target.astype(jnp.float32), (0, 3, 1, 2))
+    if not want_target_grad:
+        gt_t = jax.lax.stop_gradient(gt_t)
     scenes9 = pack_scenes(scenes)
     th = min(tile_h, pred.shape[1])
     tw = tile_w if tile_w > 0 else min(pred.shape[2], MAX_TILE_W)
@@ -301,4 +352,5 @@ def rendering_loss_fused(pred: jnp.ndarray, target: jnp.ndarray,
         # silently drop rows/cols from the loss and their gradients.
         raise ValueError(
             f"tile ({th}, {tw}) must divide the image ({height}, {width})")
-    return _fused_loss_planes(pred_t, gt_t, scenes9, th, tw)
+    return _fused_loss_planes(pred_t, gt_t, scenes9, th, tw,
+                              want_target_grad)

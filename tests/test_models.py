@@ -114,6 +114,30 @@ class TestLayerPrimitives:
         np.testing.assert_allclose(np.asarray(gk_f), np.asarray(gk_n),
                                    rtol=1e-5, atol=1e-4)
 
+    @pytest.mark.parametrize("levels", ["1", "2"])
+    def test_phase_tail_matches_plain_generator(self, levels, monkeypatch):
+        """Generator(phase_tail=True) == Generator(phase_tail=False) after
+        phase_to_space, for single- and two-level phase tails (same param
+        tree; exact up to reassociation at HIGHEST precision)."""
+        from svbrdf_tpu.models.generator import Generator
+
+        monkeypatch.setenv("SVBRDF_PHASE_LEVELS", levels)
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(
+            np.float32))
+        g_plain = Generator(9, num_filters=8, depth=5, phase_tail=False)
+        g_phase = Generator(9, num_filters=8, depth=5, phase_tail=True)
+        params = g_plain.init(jax.random.key(0), x)["params"]
+        with jax.default_matmul_precision("highest"):
+            out_p, gv_p = g_plain.apply({"params": params}, x)
+            out_f, gv_f = g_phase.apply({"params": params}, x)
+        assert out_f.shape == (2, 16, 16, 36)
+        out_f = L.phase_to_space(out_f, 9)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
+                                   atol=2e-6)
+        np.testing.assert_allclose(np.asarray(gv_f), np.asarray(gv_p),
+                                   atol=2e-6)
+
     def test_append_coords(self):
         x = jnp.zeros((2, 4, 6, 3))
         out = L.append_coords(x)

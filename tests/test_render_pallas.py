@@ -47,11 +47,21 @@ def test_gradients_match_jnp(case):
 def test_gradient_wrt_target_too(case):
     pred, target, scenes = case
     g_fused = jax.grad(
-        lambda t: render_pallas.rendering_loss_fused(pred, t, scenes,
-                                                     tile_h=8))(target)
+        lambda t: render_pallas.rendering_loss_fused(
+            pred, t, scenes, tile_h=8, want_target_grad=True))(target)
     g_ref = jax.grad(lambda t: _jnp_loss(pred, t, scenes))(target)
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
                                rtol=2e-4, atol=1e-6)
+
+
+def test_target_grad_zero_by_default(case):
+    """Default mode stop-gradients the target: grads wrt it are zero (the
+    training semantics — targets are data), never silently wrong values."""
+    pred, target, scenes = case
+    g = jax.grad(
+        lambda t: render_pallas.rendering_loss_fused(pred, t, scenes,
+                                                     tile_h=8))(target)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
 
 
 def test_loss_fn_fused_variant(case):
