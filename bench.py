@@ -35,7 +35,8 @@ def main():
     from svbrdf_tpu.parallel import make_mesh, mesh as mesh_lib
     from svbrdf_tpu.parallel.step import PrepConfig, make_train_step
 
-    batch, size = 8, 256
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    size = int(os.environ.get("BENCH_SIZE", "256"))
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     variant = os.environ.get("BENCH_VARIANT", "local")
@@ -91,7 +92,7 @@ def main():
     from svbrdf_tpu.utils import flops as flops_lib
 
     record = {
-        "metric": "mixed_rendering_loss_train_step_b8_256",
+        "metric": f"mixed_rendering_loss_train_step_b{batch}_{size}",
         "value": round(step_ms, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_STEP_MS / step_ms, 1),
@@ -104,7 +105,8 @@ def main():
     if variant != "local":
         # The MC path tracer's sampling FLOPs aren't in the model-FLOPs
         # basis; MFU would be meaningless here.
-        record["metric"] = "mixed_pathtracing_loss_train_step_b8_256"
+        record["metric"] = (
+            f"mixed_pathtracing_loss_train_step_b{batch}_{size}")
         record["vs_baseline"] = round(BASELINE_PATHTRACE_MS / step_ms, 1)
         del record["mfu_pct"]
     print(json.dumps(record))

@@ -36,7 +36,9 @@ _PI = math.pi
 EPSILON_RENDER = 0.1   # log-space epsilon, reference losses.py:46
 _EPS = 0.001
 
-DEFAULT_TILE_H = 16
+import os
+
+DEFAULT_TILE_H = int(os.environ.get("SVBRDF_LOSS_TILE_H", "16"))
 
 
 def pack_scenes(scenes: Scene) -> jnp.ndarray:

@@ -85,6 +85,85 @@ def _version_event(wall_time: float) -> bytes:
     return _field_double(1, wall_time) + _field_bytes(3, b"brain.Event:2")
 
 
+def _read_varint(buf: bytes, i: int):
+    shift, out = 0, 0
+    while True:
+        b = buf[i]
+        i += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, i
+        shift += 7
+
+
+def _walk_fields(buf: bytes):
+    """Yield (field_number, wire_type, value) over one protobuf message."""
+    i = 0
+    while i < len(buf):
+        key, i = _read_varint(buf, i)
+        num, wt = key >> 3, key & 7
+        if wt == 0:
+            val, i = _read_varint(buf, i)
+        elif wt == 1:
+            val = buf[i:i + 8]
+            i += 8
+        elif wt == 5:
+            val = buf[i:i + 4]
+            i += 4
+        elif wt == 2:
+            ln, i = _read_varint(buf, i)
+            val = buf[i:i + ln]
+            i += ln
+        else:  # groups unused in Event protos
+            raise ValueError(f"unsupported wire type {wt}")
+        yield num, wt, val
+
+
+def read_scalars(path: str):
+    """Read scalar series back from an events file or log dir.
+
+    Returns {tag: [(step, value), ...]} — the counterpart of SummaryWriter
+    (the reference analyzed its training speed from TensorBoard scalar
+    exports the same way, website.ipynb cell 21).
+    """
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.startswith("events.out.tfevents."))
+    else:
+        files = [path]
+    series: dict = {}
+    for fname in files:
+        with open(fname, "rb") as f:
+            data = f.read()
+        i = 0
+        while i + 12 <= len(data):
+            (length,) = struct.unpack_from("<Q", data, i)
+            payload = data[i + 12:i + 12 + length]
+            i += 12 + length + 4
+            step = 0
+            summary = None
+            for num, wt, val in _walk_fields(payload):
+                if num == 2 and wt == 0:
+                    step = val
+                elif num == 5 and wt == 2:
+                    summary = val
+            if summary is None:
+                continue
+            for num, wt, val in _walk_fields(summary):
+                if num != 1 or wt != 2:
+                    continue
+                tag, simple = None, None
+                for n2, w2, v2 in _walk_fields(val):
+                    if n2 == 1 and w2 == 2:
+                        tag = v2.decode()
+                    elif n2 == 2 and w2 == 5:
+                        (simple,) = struct.unpack("<f", v2)
+                if tag is not None and simple is not None:
+                    series.setdefault(tag, []).append((step, simple))
+    return series
+
+
 class SummaryWriter:
     """Append-only scalar writer, TensorBoard-compatible."""
 

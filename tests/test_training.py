@@ -95,6 +95,21 @@ class TestTensorBoardWriter:
         assert struct.pack("<f", 0.75) in records[2]
 
 
+class TestScalarReader:
+    def test_roundtrip(self, tmp_path):
+        from svbrdf_tpu.training.tensorboard import (SummaryWriter,
+                                                     read_scalars)
+
+        with SummaryWriter(str(tmp_path)) as w:
+            for i in range(5):
+                w.add_scalar("loss", 1.0 / (i + 1), i)
+            w.add_scalar("val_loss", 0.5, 2)
+        series = read_scalars(str(tmp_path))
+        assert [s for s, _ in series["loss"]] == list(range(5))
+        assert abs(series["loss"][3][1] - 0.25) < 1e-6
+        assert series["val_loss"] == [(2, 0.5)]
+
+
 class TestMeshStrictness:
     def test_make_mesh_refuses_truncation(self):
         from svbrdf_tpu.parallel import make_mesh
