@@ -85,17 +85,48 @@ def mixed_loss(pred: jnp.ndarray, target: jnp.ndarray, key,
                              n_random=n_random, n_specular=n_specular))
 
 
+def svbrdf_l1_loss_planes(pred_t: jnp.ndarray,
+                          gt_t: jnp.ndarray) -> jnp.ndarray:
+    """svbrdf_l1_loss on (B, 12, H, W) channel planes (identical value —
+    the four per-map mean-L1 terms are layout-invariant)."""
+    def log_seg(x, lo, hi):
+        return jnp.log(x[:, lo:hi] + EPSILON_L1)
+
+    return (
+        l1_loss(pred_t[:, 0:3], gt_t[:, 0:3])
+        + l1_loss(log_seg(pred_t, 3, 6), log_seg(gt_t, 3, 6))
+        + l1_loss(pred_t[:, 6:9], gt_t[:, 6:9])
+        + l1_loss(log_seg(pred_t, 9, 12), log_seg(gt_t, 9, 12))
+    )
+
+
+def _to_planes(svbrdf: jnp.ndarray) -> jnp.ndarray:
+    """NHWC (B, H, W, 12) or phase-major (B, h, w, 4, 12) -> (B, 12, H, W)
+    channel planes (the fused kernel's native layout)."""
+    from svbrdf_tpu.ops import render_pallas
+
+    if svbrdf.ndim == 5:
+        return render_pallas.phase_to_planes(svbrdf.astype(jnp.float32))
+    return jnp.transpose(svbrdf.astype(jnp.float32), (0, 3, 1, 2))
+
+
 def rendering_loss_fused(pred: jnp.ndarray, target: jnp.ndarray, key,
                          n_random: int = 3, n_specular: int = 6,
-                         tile_h: int = 16) -> jnp.ndarray:
+                         tile_h: int = 0) -> jnp.ndarray:
     """Pallas-fused rendering loss (see ops/render_pallas.py): identical
     value/grads to `rendering_loss` with the local renderer, but shades and
-    reduces per VMEM tile instead of materializing (B, S, H, W, 3) renders."""
+    reduces per VMEM tile instead of materializing (B, S, H, W, 3) renders.
+    Accepts NHWC or phase-major predictions (see _to_planes)."""
     from svbrdf_tpu.ops import render_pallas
 
     scenes = sampling.generate_loss_scenes(key, pred.shape[0],
                                            n_random, n_specular)
-    return render_pallas.rendering_loss_fused(pred, target, scenes, tile_h)
+    th = tile_h if tile_h > 0 else render_pallas.DEFAULT_TILE_H
+    return render_pallas.rendering_loss_fused_planes(
+        _to_planes(pred), _to_planes(target), scenes, th)
+
+
+rendering_loss_fused.accepts_phase = True
 
 
 def make_loss_fn(kind: str = "mixed", renderer: str = "local",
@@ -129,8 +160,21 @@ def make_loss_fn(kind: str = "mixed", renderer: str = "local",
         return partial(rendering_loss, render_fn=render_fn)
     if kind == "mixed":
         if fused:
-            return lambda pred, target, key: (
-                l1_weight * svbrdf_l1_loss(pred, target)
-                + rendering_loss_fused(pred, target, key))
+            def fused_mixed(pred, target, key):
+                # One planes conversion feeds BOTH terms; with a
+                # phase-major pred (model output_layout='phase') the
+                # spatial 12-channel tensor never materializes.
+                from svbrdf_tpu.ops import render_pallas
+
+                scenes = sampling.generate_loss_scenes(
+                    key, pred.shape[0], 3, 6)
+                pred_t = _to_planes(pred)
+                gt_t = _to_planes(target)
+                return (l1_weight * svbrdf_l1_loss_planes(pred_t, gt_t)
+                        + render_pallas.rendering_loss_fused_planes(
+                            pred_t, gt_t, scenes))
+
+            fused_mixed.accepts_phase = True
+            return fused_mixed
         return partial(mixed_loss, render_fn=render_fn, l1_weight=l1_weight)
     raise ValueError(f"unknown loss kind '{kind}'")

@@ -35,8 +35,19 @@ class SingleViewModel(nn.Module):
     depth: int = 8
     dtype: Any = jnp.float32
 
+    # The train/eval steps may request output_layout="phase" to keep the
+    # maps in the space-to-depth layout (see __call__).
+    supports_phase_output = True
+
     @nn.compact
-    def __call__(self, images, deterministic: bool = True):
+    def __call__(self, images, deterministic: bool = True,
+                 output_layout: str = "spatial"):
+        """output_layout: 'spatial' -> (B, H, W, 12) maps (the public
+        contract); 'phase' -> (B, H/2, W/2, 4, 12) phase-major maps —
+        identical values, different data layout. The fused rendering loss
+        consumes the phase form directly (ops/render_pallas.phase_to_planes),
+        so the narrow 12-channel full-resolution tensor never materializes
+        in the training hot path."""
         if images.ndim == 5:  # (B, N, H, W, 3) -> first view only
             images = images[:, 0]
         # phase_tail keeps the 9-channel full-res tensors in a space-to-
@@ -48,9 +59,17 @@ class SingleViewModel(nn.Module):
                            use_coords=self.use_coords, depth=self.depth,
                            dtype=self.dtype, phase_tail=phase_tail,
                            name="generator")(images, deterministic)
+        from svbrdf_tpu.models import layers as L
+
         if not phase_tail:
-            return head_to_svbrdf(sv9)
+            spatial = head_to_svbrdf(sv9)
+            if output_layout == "phase":
+                b2, h2, w2, _ = spatial.shape
+                return L.space_to_phase(spatial).reshape(
+                    b2, h2 // 2, w2 // 2, 4, 12)
+            return spatial
         b, h, w, _ = sv9.shape
         svbrdf_phase = head_to_svbrdf(sv9.reshape(b, h, w, 4, 9))
-        from svbrdf_tpu.models import layers as L
+        if output_layout == "phase":
+            return svbrdf_phase
         return L.phase_to_space(svbrdf_phase.reshape(b, h, w, 48), 12)

@@ -342,17 +342,40 @@ def rendering_loss_fused(pred: jnp.ndarray, target: jnp.ndarray,
     """
     pred_t = jnp.transpose(pred.astype(jnp.float32), (0, 3, 1, 2))
     gt_t = jnp.transpose(target.astype(jnp.float32), (0, 3, 1, 2))
+    return rendering_loss_fused_planes(pred_t, gt_t, scenes, tile_h,
+                                       tile_w, want_target_grad)
+
+
+def rendering_loss_fused_planes(pred_t: jnp.ndarray, gt_t: jnp.ndarray,
+                                scenes: Scene,
+                                tile_h: int = DEFAULT_TILE_H,
+                                tile_w: int = 0,
+                                want_target_grad: bool = False
+                                ) -> jnp.ndarray:
+    """Planes-layout entry: pred_t/gt_t are (B, 12, H, W) channel planes —
+    the kernel's native layout. Callers that already hold a phase-major or
+    planar prediction (e.g. the phase-tail model) use this to skip the
+    NHWC round-trip."""
     if not want_target_grad:
         gt_t = jax.lax.stop_gradient(gt_t)
     scenes9 = pack_scenes(scenes)
-    th = min(tile_h, pred.shape[1])
-    tw = tile_w if tile_w > 0 else min(pred.shape[2], MAX_TILE_W)
-    height, width = pred.shape[1], pred.shape[2]
+    height, width = pred_t.shape[2], pred_t.shape[3]
+    th = min(tile_h, height)
+    tw = tile_w if tile_w > 0 else min(width, MAX_TILE_W)
     if height % th or width % tw:
         # The grid covers exactly n_h*th x n_w*tw pixels while the
         # normalizer uses the full H*W — a non-dividing tile would
         # silently drop rows/cols from the loss and their gradients.
         raise ValueError(
             f"tile ({th}, {tw}) must divide the image ({height}, {width})")
-    return _fused_loss_planes(pred_t, gt_t, scenes9, th, tw,
+    return _fused_loss_planes(pred_t.astype(jnp.float32),
+                              gt_t.astype(jnp.float32), scenes9, th, tw,
                               want_target_grad)
+
+
+def phase_to_planes(phase: jnp.ndarray) -> jnp.ndarray:
+    """(B, h, w, 4, C) phase-major maps -> (B, C, 2h, 2w) channel planes
+    in ONE transpose (planes[b, c, 2v+a, 2w+d] = phase[b, v, w, (a, d), c])."""
+    b, h, w, _, c = phase.shape
+    p = phase.reshape(b, h, w, 2, 2, c).transpose(0, 5, 1, 3, 2, 4)
+    return p.reshape(b, c, 2 * h, 2 * w)

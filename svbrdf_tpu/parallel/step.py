@@ -92,6 +92,15 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
     compilation themselves (loop.py) and keep the plain jit.
     """
 
+    # Phase-direct loss path: when the model can emit phase-major maps and
+    # the loss consumes them (fused local rendering loss), the spatial
+    # 12-channel prediction never materializes — one transpose straight to
+    # the kernel's plane layout instead of unpack + re-transpose.
+    phase_kwargs = (
+        {"output_layout": "phase"}
+        if (getattr(model, "supports_phase_output", False)
+            and getattr(loss_fn, "accepts_phase", False)) else {})
+
     def step(params, opt_state, raw_batch, key):
         k_prep, k_drop, k_loss = jax.random.split(key, 3)
         batch = _prepare(k_prep, raw_batch, prep)
@@ -99,7 +108,7 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
         def loss_of(p):
             pred = model.apply({"params": p}, batch["inputs"],
                                deterministic=False,
-                               rngs={"dropout": k_drop})
+                               rngs={"dropout": k_drop}, **phase_kwargs)
             return loss_fn(pred, batch["svbrdf"], k_loss)
 
         loss, grads = jax.value_and_grad(loss_of)(params)
@@ -137,11 +146,16 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
 def make_eval_step(model, loss_fn: Callable, prep: PrepConfig, mesh=None):
     """Validation step: deterministic model, same loss. Reference main.py:129-147."""
 
+    phase_kwargs = (
+        {"output_layout": "phase"}
+        if (getattr(model, "supports_phase_output", False)
+            and getattr(loss_fn, "accepts_phase", False)) else {})
+
     def step(params, raw_batch, key):
         k_prep, k_loss = jax.random.split(key)
         batch = _prepare(k_prep, raw_batch, prep)
         pred = model.apply({"params": params}, batch["inputs"],
-                           deterministic=True)
+                           deterministic=True, **phase_kwargs)
         return loss_fn(pred, batch["svbrdf"], k_loss)
 
     if mesh is None:

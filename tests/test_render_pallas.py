@@ -64,6 +64,33 @@ def test_target_grad_zero_by_default(case):
     np.testing.assert_array_equal(np.asarray(g), 0.0)
 
 
+def test_phase_direct_loss_matches_spatial(case):
+    """The phase-direct path (model emits (B, h, w, 4, 12); one transpose
+    to planes) gives the same mixed-loss VALUE and pred-gradients as the
+    spatial path."""
+    from svbrdf_tpu import losses
+    from svbrdf_tpu.models import layers as L
+
+    pred, target, scenes = case
+    key = jax.random.key(5)
+    loss_fn = losses.make_loss_fn("mixed", "local", fused=True)
+    assert getattr(loss_fn, "accepts_phase", False)
+
+    b, h, w, _ = pred.shape
+    pred_phase = L.space_to_phase(pred).reshape(b, h // 2, w // 2, 4, 12)
+
+    v_spatial = float(loss_fn(pred, target, key))
+    v_phase = float(loss_fn(pred_phase, target, key))
+    np.testing.assert_allclose(v_phase, v_spatial, rtol=1e-6)
+
+    g_spatial = jax.grad(lambda p: loss_fn(p, target, key))(pred)
+    g_phase = jax.grad(
+        lambda p: loss_fn(L.space_to_phase(p).reshape(
+            b, h // 2, w // 2, 4, 12), target, key))(pred)
+    np.testing.assert_allclose(np.asarray(g_phase), np.asarray(g_spatial),
+                               rtol=1e-5, atol=1e-7)
+
+
 def test_loss_fn_fused_variant(case):
     pred, target, _ = case
     fn = losses.make_loss_fn("mixed", "local", fused=True)
