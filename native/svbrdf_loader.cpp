@@ -21,6 +21,7 @@
 #include <string>
 #include <thread>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 namespace {
@@ -69,10 +70,16 @@ class PrefetchPool {
     for (auto& t : workers_) t.join();
   }
 
+  // Prefetch HINT: speculative, droppable. The queue is bounded by
+  // `capacity_` outstanding items (pending + ready) so a burst of hints
+  // can never grow the queue without bound; a dropped hint is re-issued
+  // on demand by wait_and_take.
   void request(int idx) {
     std::lock_guard<std::mutex> lk(mu_);
     if (idx < 0 || idx >= static_cast<int>(paths_.size())) return;
     if (ready_.count(idx) || pending_.count(idx)) return;
+    if (static_cast<int>(pending_.size() + ready_.size()) >= capacity_)
+      return;  // bounded: drop the hint
     pending_[idx] = true;
     queue_.push_back(idx);
     cv_work_.notify_one();
@@ -80,13 +87,28 @@ class PrefetchPool {
 
   // Blocks until idx is decoded; copies into out (caller-sized) and evicts.
   // Returns 0 on success, -1 on decode failure, -2 on bad index.
+  // Demand enqueues jump the queue and bypass the capacity gate (a full
+  // ready_ of other images must not deadlock the consumer).
   int wait_and_take(int idx, uint8_t* out, int64_t out_size, uint32_t* w,
                     uint32_t* h) {
     if (idx < 0 || idx >= static_cast<int>(paths_.size())) return -2;
     std::unique_lock<std::mutex> lk(mu_);
-    if (!ready_.count(idx) && !pending_.count(idx)) {
-      pending_[idx] = true;
-      queue_.push_back(idx);
+    if (!ready_.count(idx)) {
+      if (pending_.count(idx)) {
+        // Promote a queued hint to the front (it may be mid-decode, in
+        // which case it is no longer in the queue and this is a no-op).
+        for (auto it = queue_.begin(); it != queue_.end(); ++it) {
+          if (*it == idx) {
+            queue_.erase(it);
+            queue_.push_front(idx);
+            break;
+          }
+        }
+      } else {
+        pending_[idx] = true;
+        queue_.push_front(idx);
+      }
+      demanded_.insert(idx);
       cv_work_.notify_one();
     }
     cv_ready_.wait(lk, [&] { return ready_.count(idx) > 0; });
@@ -104,8 +126,19 @@ class PrefetchPool {
     return 0;
   }
 
+  // Decoded-size query. Served from the decoded image or a memoized size
+  // when possible — the PNG header is read from disk at most ONCE per
+  // path, never again on the consumer's hot take() path.
   int64_t image_bytes(int idx) {
     if (idx < 0 || idx >= static_cast<int>(paths_.size())) return -1;
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      auto ready = ready_.find(idx);
+      if (ready != ready_.end() && ready->second.ok)
+        return static_cast<int64_t>(ready->second.rgb.size());
+      auto cached = size_cache_.find(idx);
+      if (cached != size_cache_.end()) return cached->second;
+    }
     png_image image;
     std::memset(&image, 0, sizeof image);
     image.version = PNG_IMAGE_VERSION;
@@ -114,6 +147,8 @@ class PrefetchPool {
     image.format = PNG_FORMAT_RGB;
     int64_t size = PNG_IMAGE_SIZE(image);
     png_image_free(&image);
+    std::lock_guard<std::mutex> lk(mu_);
+    size_cache_[idx] = size;
     return size;
   }
 
@@ -124,9 +159,13 @@ class PrefetchPool {
       {
         std::unique_lock<std::mutex> lk(mu_);
         cv_work_.wait(lk, [&] {
+          // Demanded items run even when ready_ is at capacity —
+          // otherwise a consumer blocked on an undecoded index could
+          // deadlock against a cache full of other images.
           return stop_ ||
                  (!queue_.empty() &&
-                  static_cast<int>(ready_.size()) < capacity_);
+                  (static_cast<int>(ready_.size()) < capacity_ ||
+                   demanded_.count(queue_.front()) > 0));
         });
         if (stop_) return;
         idx = queue_.front();
@@ -135,8 +174,11 @@ class PrefetchPool {
       Image img = decode_png_rgb8(paths_[idx].c_str());
       {
         std::lock_guard<std::mutex> lk(mu_);
+        if (img.ok)
+          size_cache_[idx] = static_cast<int64_t>(img.rgb.size());
         ready_[idx] = std::move(img);
         pending_.erase(idx);
+        demanded_.erase(idx);
       }
       cv_ready_.notify_all();
     }
@@ -151,6 +193,8 @@ class PrefetchPool {
   std::deque<int> queue_;
   std::unordered_map<int, Image> ready_;
   std::unordered_map<int, bool> pending_;
+  std::unordered_map<int, int64_t> size_cache_;
+  std::unordered_set<int> demanded_;
   bool stop_ = false;
 };
 

@@ -38,6 +38,25 @@ def test_prefetch_pool(native_lib, toy_data_dir):
         pool.close()
 
 
+def test_pool_capacity_one_no_deadlock(native_lib, toy_data_dir):
+    """A demanded index must decode even when the ready cache is full of
+    OTHER images (hint bursts beyond capacity are dropped, never queued
+    unboundedly; demand enqueues bypass the capacity gate)."""
+    paths = (strips.list_sample_files(str(toy_data_dir / "train"))
+             + strips.list_sample_files(str(toy_data_dir / "test")))
+    assert len(paths) >= 3
+    pool = native_loader.PrefetchPool(paths, n_threads=1, capacity=1)
+    try:
+        for i in range(len(paths)):  # hint burst >> capacity
+            pool.request(i)
+        # Take in reverse: the ready slot holds index 0 while we demand
+        # the last index — must not deadlock, and data must be right.
+        for i in reversed(range(len(paths))):
+            np.testing.assert_array_equal(pool.take(i), _pil(paths[i]))
+    finally:
+        pool.close()
+
+
 def test_pool_bad_index(native_lib, toy_data_dir):
     paths = strips.list_sample_files(str(toy_data_dir / "train"))
     pool = native_loader.PrefetchPool(paths)
