@@ -31,7 +31,7 @@ def main():
     import optax
 
     from svbrdf_tpu import losses
-    from svbrdf_tpu.models import SingleViewModel
+    from svbrdf_tpu.models import MultiViewModel, SingleViewModel
     from svbrdf_tpu.parallel import make_mesh, mesh as mesh_lib
     from svbrdf_tpu.parallel.step import PrepConfig, make_train_step
 
@@ -40,11 +40,15 @@ def main():
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     variant = os.environ.get("BENCH_VARIANT", "local")
+    model_kind = os.environ.get("BENCH_MODEL", "single")
+    n_views = 3 if model_kind == "multi" else 1
     mesh = make_mesh()
-    model = SingleViewModel(use_coords=False, dtype=dtype)
+    model = (MultiViewModel(use_coords=False, dtype=dtype)
+             if model_kind == "multi"
+             else SingleViewModel(use_coords=False, dtype=dtype))
     optimizer = optax.adam(1e-5)
     loss_fn = losses.make_loss_fn("mixed", variant)
-    prep = PrepConfig(used_input_image_count=1, use_augmentation=True,
+    prep = PrepConfig(used_input_image_count=n_views, use_augmentation=True,
                       is_linear=False, mix_materials=True)
     step = make_train_step(model, optimizer, loss_fn, prep, mesh,
                            donate=True)
@@ -64,7 +68,7 @@ def main():
 
     key = jax.random.key(0)
     params = model.init(jax.random.fold_in(key, 1),
-                        jnp.zeros((1, 1, size, size, 3)))["params"]
+                        jnp.zeros((1, n_views, size, size, 3)))["params"]
     opt_state = optimizer.init(params)
     repl = mesh_lib.replicated_sharding(mesh)
     params = jax.device_put(params, repl)
@@ -91,8 +95,10 @@ def main():
     step_ms = float(elapsed / n_steps * 1e3)
     from svbrdf_tpu.utils import flops as flops_lib
 
+    model_tag = "" if model_kind == "single" else f"_{model_kind}view{n_views}"
     record = {
-        "metric": f"mixed_rendering_loss_train_step_b{batch}_{size}",
+        "metric":
+            f"mixed_rendering_loss_train_step_b{batch}_{size}{model_tag}",
         "value": round(step_ms, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_STEP_MS / step_ms, 1),
@@ -106,9 +112,11 @@ def main():
         # The MC path tracer's sampling FLOPs aren't in the model-FLOPs
         # basis; MFU would be meaningless here.
         record["metric"] = (
-            f"mixed_pathtracing_loss_train_step_b{batch}_{size}")
+            f"mixed_pathtracing_loss_train_step_b{batch}_{size}{model_tag}")
         record["vs_baseline"] = round(BASELINE_PATHTRACE_MS / step_ms, 1)
-        del record["mfu_pct"]
+        record.pop("mfu_pct", None)
+    if model_kind != "single":
+        record.pop("mfu_pct", None)  # flops model covers the 1-view net
     print(json.dumps(record))
 
 

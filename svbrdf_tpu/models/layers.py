@@ -501,6 +501,44 @@ class PhaseDecodingBlock(nn.Module):
         return y, mean
 
 
+class PhaseConvFeatureBlock(nn.Module):
+    """ConvFeatureBlock on phase-major data (multi-view fusion head).
+
+    A plain 3x3 stride-1 conv re-expressed for phase-major input/output
+    via phase_input_kernel — the tap mapping is DENSE (6 entries into 6
+    slots per dimension), so unlike the 4x4 phase conv there is no MAC
+    overhead; the win is pure layout (the head's 32- and 9-channel
+    full-resolution tensors lane-pad 4x/14x in spatial form). Parameter
+    tree matches ConvFeatureBlock (conv/kernel, norm, merge/fc).
+    Returns (phase_rep, channel_mean).
+    """
+
+    features: int
+    use_norm: bool = True
+    use_activation: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, global_track):
+        if self.use_activation:
+            x = nn.leaky_relu(x, negative_slope=0.2)
+        cin = x.shape[-1] // 4
+        f = self.features
+        k = _Kernel((3, 3, cin, f), name="conv")()
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), phase_input_kernel(k).astype(self.dtype),
+            window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        b, h, w, _ = y.shape
+        mean = jnp.mean(y.astype(jnp.float32).reshape(b, h, w, 4, f),
+                        axis=(1, 2, 3))
+        if self.use_norm:
+            y = InstanceNorm(dtype=self.dtype, phases=4, name="norm")(y)
+        y = Merge(f, dtype=self.dtype, phases=4, name="merge")(
+            y, global_track)
+        return y, mean
+
+
 class ConvFeatureBlock(nn.Module):
     """3x3 stride-1 feature conv variant (multi-view fusion head).
 

@@ -29,8 +29,11 @@ class MultiViewModel(nn.Module):
     depth: int = 8
     dtype: Any = jnp.float32
 
+    supports_phase_output = True
+
     @nn.compact
-    def __call__(self, images, deterministic: bool = True):
+    def __call__(self, images, deterministic: bool = True,
+                 output_layout: str = "spatial"):
         if images.ndim == 4:  # single view (B, H, W, 3) -> add view axis
             images = images[:, None]
 
@@ -50,22 +53,35 @@ class MultiViewModel(nn.Module):
         pooled_spatial = jnp.max(spatial, axis=1)     # (B, H, W, C)
         pooled_global = jnp.max(global_vec, axis=1)   # (B, C)
 
-        # Fusion head (reference models.py:359-367, 391-398).
+        # Fusion head (reference models.py:359-367, 391-398), computed in
+        # phase space: its 32- and 9-channel full-resolution tensors would
+        # lane-pad 4x/14x in spatial form; the phase form of a 3x3 conv is
+        # MAC-dense, so this is a pure layout win. One space_to_phase on
+        # the pooled features; one unpack at the very end (or none, with
+        # output_layout='phase').
         c0 = self.generator_output_channels
         head = [64, 32, 9]
 
-        x = L.Merge(c0, dtype=self.dtype, name="merge")(
-            pooled_spatial, pooled_global)
+        xp = L.space_to_phase(pooled_spatial)  # (B, H/2, W/2, 4*C)
+        x = L.Merge(c0, dtype=self.dtype, phases=4, name="merge")(
+            xp, pooled_global)
         mean = jnp.mean(pooled_spatial.astype(jnp.float32), axis=(-3, -2))
         g = L.GlobalTrack(head[0], dtype=self.dtype, name="gt1")(
             mean, pooled_global)
-        x, mean = L.ConvFeatureBlock(head[0], True, False, dtype=self.dtype,
-                                     name="conv1")(x, g)
+        x, mean = L.PhaseConvFeatureBlock(head[0], True, False,
+                                          dtype=self.dtype,
+                                          name="conv1")(x, g)
         g = L.GlobalTrack(head[1], dtype=self.dtype, name="gt2")(mean, g)
-        x, mean = L.ConvFeatureBlock(head[1], True, True, dtype=self.dtype,
-                                     name="conv2")(x, g)
+        x, mean = L.PhaseConvFeatureBlock(head[1], True, True,
+                                          dtype=self.dtype,
+                                          name="conv2")(x, g)
         g = L.GlobalTrack(head[2], dtype=self.dtype, name="gt3")(mean, g)
-        x, _ = L.ConvFeatureBlock(head[2], False, True, dtype=self.dtype,
-                                  name="conv3")(x, g)
+        x, _ = L.PhaseConvFeatureBlock(head[2], False, True,
+                                       dtype=self.dtype,
+                                       name="conv3")(x, g)
 
-        return head_to_svbrdf(x)
+        b, h, w, _ = x.shape
+        svbrdf_phase = head_to_svbrdf(x.reshape(b, h, w, 4, 9))
+        if output_layout == "phase":
+            return svbrdf_phase
+        return L.phase_to_space(svbrdf_phase.reshape(b, h, w, 48), 12)
