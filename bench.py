@@ -25,6 +25,42 @@ BASELINE_STEP_MS = 18000.0  # reference: ~1 h/epoch at ~197 steps/epoch
 BASELINE_PATHTRACE_MS = 155000.0  # reference: ~8.5 h/epoch (docs:1002)
 
 
+def bench_predict(model, model_kind, n_views, batch, size, mesh):
+    """Inference throughput: images -> SVBRDF maps (the serving path the
+    estimator API uses). No reference baseline exists (the reference's
+    test mode is matplotlib-interactive); reported as samples/s."""
+    import time as _time
+
+    from svbrdf_tpu.parallel import mesh as mesh_lib
+    from svbrdf_tpu.parallel.step import make_predict_fn
+
+    predict = make_predict_fn(model, mesh)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(
+        0, 1, (batch, n_views, size, size, 3)).astype(np.float32))
+    images = jax.device_put(images, mesh_lib.batch_sharding(mesh))
+    params = model.init(jax.random.key(1),
+                        jnp.zeros((1, n_views, size, size, 3)))["params"]
+    params = jax.device_put(params, mesh_lib.replicated_sharding(mesh))
+
+    out = predict(params, images)
+    float(jnp.mean(out))  # compile + sync
+    n_steps = 100
+    t0 = _time.perf_counter()
+    for _ in range(n_steps):
+        out = predict(params, images)
+    float(jnp.mean(out))  # barrier
+    elapsed = _time.perf_counter() - t0
+    step_ms = elapsed / n_steps * 1e3
+    tag = "" if model_kind == "single" else f"_{model_kind}view{n_views}"
+    print(json.dumps({
+        "metric": f"predict_b{batch}_{size}{tag}",
+        "value": round(step_ms, 3),
+        "unit": "ms",
+        "samples_per_s": round(batch / (step_ms / 1e3), 1),
+    }))
+
+
 def main():
     import os
 
@@ -46,6 +82,8 @@ def main():
     model = (MultiViewModel(use_coords=False, dtype=dtype)
              if model_kind == "multi"
              else SingleViewModel(use_coords=False, dtype=dtype))
+    if variant == "predict":
+        return bench_predict(model, model_kind, n_views, batch, size, mesh)
     optimizer = optax.adam(1e-5)
     loss_fn = losses.make_loss_fn("mixed", variant)
     prep = PrepConfig(used_input_image_count=n_views, use_augmentation=True,

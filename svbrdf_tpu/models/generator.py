@@ -42,6 +42,11 @@ class Generator(nn.Module):
     # is then (B, H/2, W/2, 4 * output_channels), phase-major; unpack with
     # layers.phase_to_space.
     phase_tail: bool = False
+    # upconv: decoder upsample+conv implementation override. MUST be
+    # 'fold' when inputs are spatially sharded across devices (see
+    # layers.UPCONV_IMPL for the measured XLA partitioner issue with the
+    # default 'dilated' form).
+    upconv: str = ""
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -111,6 +116,7 @@ class Generator(nn.Module):
             else:
                 h, mean = L.DecodingBlock(
                     dec_feats[i], use_norm, use_dropout, True, dtype=dt,
+                    upconv=self.upconv,
                     name=f"dec{d - i}")(h, skip, g,
                                         deterministic=deterministic)
             if use_gt:

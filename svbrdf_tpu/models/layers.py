@@ -237,10 +237,17 @@ def dilate_upsample_kernel(k: jnp.ndarray) -> jnp.ndarray:
 
 # Implementation selector for the decoder's upsample+conv (benchmarked on
 # v5e; all variants are mathematically identical — tests pin equivalence):
-#   'dilated': ONE lhs-dilated conv (dgrad-shaped; no upsampled intermediate,
-#              no extra copies) — default.
-#   'fold':    3x3 low-res conv with phase-stacked kernels + depth-to-space
-#              (fewest MACs but pays reshape/transpose copies).
+#   'dilated': ONE lhs-dilated conv (dgrad-shaped; no upsampled
+#              intermediate, no extra copies) — DEFAULT, fastest
+#              (14.7 ms step vs fold 17.8 / naive 16.9). NOT
+#              spatial-SPMD-safe: XLA's partitioner mishandles
+#              lhs_dilation + asymmetric padding when the H axis is
+#              sharded (measured 5e-2 output error on a 4-device mesh).
+#              Batch-axis sharding (the training layout) is unaffected.
+#   'fold':    3x3 low-res conv with phase-stacked kernels +
+#              depth-to-space. Bit-exact under spatial SPMD
+#              (tests/test_spatial_sharding.py) — REQUIRED when sharding
+#              H/W across devices; pass upconv='fold' to the model.
 #   'naive':   materialized upsample + pad + 4x4 conv (reference shape).
 UPCONV_IMPL = os.environ.get("SVBRDF_UPCONV", "dilated")
 
@@ -261,13 +268,14 @@ class FoldedUpConv(nn.Module):
 
     features: int
     dtype: Any = jnp.float32
+    impl: str = ""  # '' = module default (UPCONV_IMPL)
 
     @nn.compact
     def __call__(self, x):
         cin = x.shape[-1]
         k = self.param("kernel", conv_kernel_init(),
                        (4, 4, cin, self.features), jnp.float32)
-        impl = UPCONV_IMPL
+        impl = self.impl or UPCONV_IMPL
         if impl == "dilated":
             k5 = dilate_upsample_kernel(k).astype(self.dtype)
             return jax.lax.conv_general_dilated(
@@ -310,6 +318,7 @@ class DecodingBlock(nn.Module):
     use_dropout: bool = False
     use_activation: bool = True
     dtype: Any = jnp.float32
+    upconv: str = ""  # FoldedUpConv impl override ('' = UPCONV_IMPL)
 
     @nn.compact
     def __call__(self, x, skip, global_track, deterministic: bool = True):
@@ -317,7 +326,8 @@ class DecodingBlock(nn.Module):
             x = jnp.concatenate([x, skip], axis=-1)
         if self.use_activation:
             x = nn.leaky_relu(x, negative_slope=0.2)
-        x = FoldedUpConv(self.features, dtype=self.dtype, name="conv1")(x)
+        x = FoldedUpConv(self.features, dtype=self.dtype, impl=self.upconv,
+                         name="conv1")(x)
         x = _pad_1212(x)
         x = nn.Conv(self.features, (4, 4), padding="VALID", use_bias=False,
                     kernel_init=conv_kernel_init(), dtype=self.dtype,

@@ -28,6 +28,8 @@ class MultiViewModel(nn.Module):
     generator_output_channels: int = 64
     depth: int = 8
     dtype: Any = jnp.float32
+    # Set upconv='fold' for spatially-sharded use; see layers.UPCONV_IMPL.
+    upconv: str = ""
 
     supports_phase_output = True
 
@@ -47,6 +49,7 @@ class MultiViewModel(nn.Module):
         spatial, global_vec = VGen(
             self.generator_output_channels, num_filters=self.num_filters,
             use_coords=self.use_coords, depth=self.depth, dtype=self.dtype,
+            upconv=self.upconv,
             name="generator")(images, deterministic)
 
         # Max-pool across views (reference models.py:388-389).

@@ -34,6 +34,9 @@ class SingleViewModel(nn.Module):
     num_filters: int = 64
     depth: int = 8
     dtype: Any = jnp.float32
+    # Set upconv='fold' for spatially-sharded (H/W across devices) use;
+    # see layers.UPCONV_IMPL.
+    upconv: str = ""
 
     # The train/eval steps may request output_layout="phase" to keep the
     # maps in the space-to-depth layout (see __call__).
@@ -58,6 +61,7 @@ class SingleViewModel(nn.Module):
         sv9, _ = Generator(9, num_filters=self.num_filters,
                            use_coords=self.use_coords, depth=self.depth,
                            dtype=self.dtype, phase_tail=phase_tail,
+                           upconv=self.upconv,
                            name="generator")(images, deterministic)
         from svbrdf_tpu.models import layers as L
 
