@@ -7,6 +7,9 @@ The reference's differentiability-validation experiment
 """
 
 import sys
+import pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))  # run without install
 
 import jax
 import numpy as np
@@ -17,6 +20,8 @@ from svbrdf_tpu import viz
 
 
 def main():
+    if len(sys.argv) < 4:
+        raise SystemExit(__doc__.strip())
     strip_path, which, out = sys.argv[1], sys.argv[2], sys.argv[3]
     steps = int(sys.argv[4]) if len(sys.argv) > 4 else 200
 

@@ -257,6 +257,42 @@ class TestDeterminism:
             np.testing.assert_array_equal(a, b)
 
 
+class TestPhaseDirectTrainStep:
+    def test_fused_phase_step_matches_spatial_loss(self):
+        """A full train step through the fused (Pallas, interpret on CPU)
+        loss with the phase-direct model output produces the same loss as
+        the jnp spatial path — the TPU hot path's semantics, pinned on CPU."""
+        import numpy as np
+        import optax
+
+        from svbrdf_tpu import losses
+        from svbrdf_tpu.models import SingleViewModel
+        from svbrdf_tpu.parallel.step import PrepConfig, make_train_step
+
+        model = SingleViewModel(num_filters=4, depth=4)
+        optimizer = optax.adam(1e-4)
+        prep = PrepConfig(1, True, False, False)
+
+        rng = np.random.default_rng(3)
+        sv = rng.uniform(0.1, 0.9, (2, 16, 16, 12)).astype(np.float32)
+        raw = {"inputs": np.zeros((2, 0, 16, 16, 3), np.float32),
+               "svbrdf": sv}
+        key = jax.random.key(7)
+        params = model.init(jax.random.fold_in(key, 1),
+                            jnp.zeros((1, 1, 16, 16, 3)))["params"]
+
+        results = []
+        for fused in (False, True):
+            loss_fn = losses.make_loss_fn("mixed", "local", fused=fused)
+            step = make_train_step(model, optimizer, loss_fn, prep,
+                                   mesh=None, donate=False)
+            opt_state = optimizer.init(params)
+            _, _, loss = step(params, opt_state, raw, key)
+            results.append(float(loss))
+        # Same value up to the kernel's tile-reduction reassociation.
+        assert abs(results[0] - results[1]) < 1e-5 * max(1, abs(results[0]))
+
+
 class TestAutoLayoutStep:
     def test_matches_plain_step(self):
         """auto_layout=True (AUTO compiler-chosen layouts for the donated
