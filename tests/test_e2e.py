@@ -117,8 +117,9 @@ def test_main_entry_trains_and_visualizes_trained_model(tmp_path,
         "--validation-frequency", "1",
         "--model-dir", str(model_dir), "--retrain",
     ])
-    grids = list((model_dir / "test_outputs").iterdir())
+    grids = sorted((model_dir / "test_outputs").glob("sample_*.png"))
     assert len(grids) == 2
+    assert (model_dir / "test_outputs" / "metrics.json").exists()
 
     # The visualized model must equal the trained checkpoint, not fresh
     # init: predictions through the estimator (which loads the checkpoint)
