@@ -74,6 +74,9 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     size = int(os.environ.get("BENCH_SIZE", "256"))
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
+    if dtype_name not in ("bfloat16", "float32"):
+        raise SystemExit(f"BENCH_DTYPE must be 'bfloat16' or 'float32', "
+                         f"got '{dtype_name}'")
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     variant = os.environ.get("BENCH_VARIANT", "local")
     model_kind = os.environ.get("BENCH_MODEL", "single")

@@ -77,23 +77,26 @@ def main():
     params = jax.device_put(params, repl)
     opt_state = jax.device_put(opt_state, repl)
 
+    assert n_steps > 3, "need >3 steps (3 warmup before the timer starts)"
     losses_seen = []
     t0 = None
+    timed_steps = 0
     for i in range(n_steps):
         params, opt_state, loss = step(params, opt_state, raw,
                                        jax.random.fold_in(key, i))
         if i == 2:
             float(loss)  # sync after warmup/compile
             t0 = time.perf_counter()
+        elif i > 2:
+            timed_steps += 1
         if (i + 1) % 50 == 0 or i == n_steps - 1:
             l = float(loss)  # fetch barrier
             losses_seen.append((i, l))
             print(f"step {i}: loss {l:.5f}", flush=True)
             if not np.isfinite(l):
-                break
+                break  # timed_steps reflects the steps actually run
     elapsed = time.perf_counter() - t0
-    timed_steps = n_steps - 3
-    step_ms = elapsed / timed_steps * 1e3
+    step_ms = elapsed / max(1, timed_steps) * 1e3
 
     nu_finite = all(bool(jnp.all(jnp.isfinite(x)))
                     for x in jax.tree.leaves(opt_state[0].nu))

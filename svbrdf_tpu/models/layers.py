@@ -288,11 +288,7 @@ class FoldedUpConv(nn.Module):
                 x.astype(self.dtype), kf, window_strides=(1, 1),
                 padding=((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            b, h, w, _ = y.shape
-            y = y.reshape(b, h, w, 2, 2, self.features)
-            y = y.transpose(0, 1, 3, 2, 4, 5).reshape(
-                b, 2 * h, 2 * w, self.features)
-            return y
+            return phase_to_space(y, self.features)
         if impl == "naive":
             h = _pad_1212(upsample_nearest_2x(x.astype(self.dtype)))
             return jax.lax.conv_general_dilated(

@@ -23,6 +23,23 @@ import os
 import sys
 
 
+def virtual_cpu_env(n_devices: int, base_env=None) -> dict:
+    """Environment dict that forces a fresh process onto a virtual
+    n-device CPU backend (the single source of the recipe — used both by
+    this module's in-process setup and __graft_entry__'s subprocess)."""
+    env = dict(os.environ if base_env is None else base_env)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    flags.append(f"--xla_force_host_platform_device_count={n_devices}")
+    env["XLA_FLAGS"] = " ".join(flags)
+    env["PYTHONPATH"] = ":".join(
+        p for p in env.get("PYTHONPATH", "").split(":")
+        if p and ".axon_site" not in p)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    return env
+
+
 def force_virtual_cpu(n_devices: int) -> None:
     """Force JAX onto a virtual n-device CPU backend.
 
@@ -32,17 +49,9 @@ def force_virtual_cpu(n_devices: int) -> None:
     `n_devices` virtual CPU devices.
     """
     sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
-    os.environ["PYTHONPATH"] = ":".join(
-        p for p in os.environ.get("PYTHONPATH", "").split(":")
-        if p and ".axon_site" not in p)
     for mod in [m for m in list(sys.modules) if "axon" in m.lower()]:
         del sys.modules[mod]
-
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
-             if "xla_force_host_platform_device_count" not in f]
-    flags.append(f"--xla_force_host_platform_device_count={n_devices}")
-    os.environ["XLA_FLAGS"] = " ".join(flags)
+    os.environ.update(virtual_cpu_env(n_devices))
 
     import jax
 

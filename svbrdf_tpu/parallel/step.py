@@ -122,6 +122,14 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
                        and jax.process_count() == 1)
 
     if mesh is None:
+        if auto_layout:
+            from jax.experimental.layout import Format, Layout
+
+            auto = Format(Layout.AUTO)
+            return AutoLayoutStep(jax.jit(
+                step, in_shardings=(auto, auto, None, None),
+                out_shardings=(auto, auto, None),
+                donate_argnums=donate_args))
         return jax.jit(step, donate_argnums=donate_args)
 
     repl = mesh_lib.replicated_sharding(mesh)

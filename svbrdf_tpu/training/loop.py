@@ -385,8 +385,24 @@ def run_test(args, out_dir: Optional[str] = None,
 
     indices = range(len(data))
     if validation_split_only:
-        _train_idx, val_idx = split_train_validation(len(data), 0.01,
-                                                     args.seed)
+        pc = jax.process_count()
+        if pc > 1:
+            # Multi-host training held out 1% of EACH host's file shard
+            # (data/dataset.shard_files_for_host: sorted files, round-robin
+            # by index). Recompute every host's local split and map the
+            # local validation indices back to global dataset indices —
+            # the global 1% split would mostly name samples some host
+            # trained on.
+            val_global = []
+            for p in range(pc):
+                local_len = len(range(p, len(data), pc))
+                _tr, val = split_train_validation(local_len, 0.01,
+                                                 args.seed)
+                val_global += [int(v) * pc + p for v in val]
+            val_idx = np.asarray(sorted(val_global))
+        else:
+            _train_idx, val_idx = split_train_validation(len(data), 0.01,
+                                                         args.seed)
         if len(val_idx) > 0:
             indices = [int(i) for i in val_idx]
 

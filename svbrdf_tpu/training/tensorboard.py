@@ -139,6 +139,8 @@ def read_scalars(path: str):
         i = 0
         while i + 12 <= len(data):
             (length,) = struct.unpack_from("<Q", data, i)
+            if i + 12 + length + 4 > len(data):
+                break  # truncated tail (live writer mid-flush): keep prefix
             payload = data[i + 12:i + 12 + length]
             i += 12 + length + 4
             step = 0

@@ -66,6 +66,29 @@ def _torch_state_dict(params):
 
 
 class TestTorchCheckpointIngestion:
+    def test_import_flag_cleared_for_post_training_viz(self, monkeypatch,
+                                                       tmp_path):
+        """main() must NOT re-import the torch checkpoint for the
+        post-training visualization pass — that would silently visualize
+        the PRE-training weights instead of the just-trained ones."""
+        from svbrdf_tpu import main as main_mod
+        from svbrdf_tpu.training import loop
+
+        seen = {}
+        monkeypatch.setattr(
+            loop, "run_training",
+            lambda args: seen.setdefault("train", args.import_torch_checkpoint))
+        monkeypatch.setattr(
+            loop, "run_test",
+            lambda args, **kw: seen.setdefault(
+                "test", args.import_torch_checkpoint))
+        main_mod.main([
+            "--mode", "train", "--input-dir", str(tmp_path),
+            "--image-count", "10", "--model-dir", str(tmp_path / "m"),
+            "--import-torch-checkpoint", "ref_checkpoint.tar",
+        ])
+        assert seen["train"] == "ref_checkpoint.tar"
+        assert seen["test"] is None
     """Reference checkpoints load through our Checkpoint / CLI path
     (reference persistence.py:14-50: checkpoint.tar + legacy formats)."""
 
