@@ -375,7 +375,13 @@ def rendering_loss_fused_planes(pred_t: jnp.ndarray, gt_t: jnp.ndarray,
 
 def phase_to_planes(phase: jnp.ndarray) -> jnp.ndarray:
     """(B, h, w, 4, C) phase-major maps -> (B, C, 2h, 2w) channel planes
-    in ONE transpose (planes[b, c, 2v+a, 2w+d] = phase[b, v, w, (a, d), c])."""
+    in ONE transpose (planes[b, c, 2v+a, 2w+d] = phase[b, v, w, (a, d), c]).
+
+    (A channel-major-first two-transpose decomposition was measured
+    equal-or-slower on v5e; the fwd+bwd conversion pair costs ~1.5 ms of
+    the step and is the main remaining glue — a kernel-side phase-aware
+    index map would eliminate it but needs cross-lane shuffles Mosaic
+    does not lower well today.)"""
     b, h, w, _, c = phase.shape
     p = phase.reshape(b, h, w, 2, 2, c).transpose(0, 5, 1, 3, 2, 4)
     return p.reshape(b, c, 2 * h, 2 * w)
