@@ -107,6 +107,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "this framework's layout. A reference checkpoint "
                         "sitting in --model-dir is also detected "
                         "automatically.")
+    p.add_argument("--export-torch-checkpoint",
+                   dest="export_torch_checkpoint", default=None,
+                   help="Write the restored model as a PyTorch reference "
+                        "checkpoint.tar at this path (test mode; the "
+                        "reference loads it with persistence.Checkpoint). "
+                        "Requires torch.")
     return p
 
 

@@ -373,6 +373,23 @@ def run_test(args, out_dir: Optional[str] = None,
         # processes (all must participate), but one host writes outputs.
         return []
 
+    export_path = getattr(args, "export_torch_checkpoint", None)
+    if export_path:
+        # Round-trip interop: write the restored model as a reference-
+        # format checkpoint.tar (reference persistence.py:59-69 layout),
+        # loadable by the PyTorch reference's Checkpoint.load.
+        import torch
+
+        from svbrdf_tpu.interop import export_torch_state_dict
+
+        state = {k: torch.from_numpy(np.ascontiguousarray(v))
+                 for k, v in export_torch_state_dict(params).items()}
+        torch.save({"model_type": args.model_type,
+                    "use_coords": args.use_coords,
+                    "epoch": _epoch,
+                    "model_state_dict": state}, export_path)
+        print(f"wrote torch checkpoint {export_path}")
+
     data = _build_dataset(args, "test")
     predict = make_predict_fn(model)
 

@@ -66,6 +66,35 @@ def _torch_state_dict(params):
 
 
 class TestTorchCheckpointIngestion:
+    def test_cli_export_torch_checkpoint(self, tmp_path, toy_data_dir):
+        """test mode --export-torch-checkpoint writes a reference-format
+        checkpoint.tar that torch can load with the expected keys."""
+        import torch
+
+        from svbrdf_tpu import main as main_mod
+
+        model_dir = tmp_path / "m"
+        common = [
+            "--input-dir", str(toy_data_dir / "train"),
+            "--image-count", "10", "--used-image-count", "1",
+            "--image-size", "32", "--model-depth", "5",
+            "--num-filters", "8", "--batch-size", "2",
+            "--model-dir", str(model_dir),
+        ]
+        main_mod.main(["--mode", "train", "--epochs", "1",
+                       "--save-frequency", "1", "--validation-frequency",
+                       "999", "--retrain"] + common)
+        out = tmp_path / "exported_checkpoint.tar"
+        main_mod.main(["--mode", "test",
+                       "--export-torch-checkpoint", str(out)] + common)
+        ckpt = torch.load(str(out), map_location="cpu",
+                          weights_only=False)
+        assert ckpt["model_type"] == "single"
+        assert ckpt["use_coords"] is False
+        sd = ckpt["model_state_dict"]
+        assert any(k.startswith("generator.enc1.") for k in sd)
+        assert all(isinstance(v, torch.Tensor) for v in sd.values())
+
     def test_import_flag_cleared_for_post_training_viz(self, monkeypatch,
                                                        tmp_path):
         """main() must NOT re-import the torch checkpoint for the
