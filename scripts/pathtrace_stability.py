@@ -89,7 +89,7 @@ def main():
             t0 = time.perf_counter()
         elif i > 2:
             timed_steps += 1
-        if (i + 1) % 50 == 0 or i == n_steps - 1:
+        if (i + 1) % max(50, n_steps // 20) == 0 or i == n_steps - 1:
             l = float(loss)  # fetch barrier
             losses_seen.append((i, l))
             print(f"step {i}: loss {l:.5f}", flush=True)
