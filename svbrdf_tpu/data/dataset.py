@@ -15,7 +15,7 @@ training loop runs on device inside the jitted step.
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, List, Optional
 
 import jax
 import numpy as np
@@ -213,20 +213,6 @@ class SvbrdfDataset:
         if self.mix_materials:
             batch["partner_svbrdf"] = np.stack(partners)
         return batch
-
-    def epoch_batches(self, batch_size: int, shuffle: bool = True,
-                      drop_remainder: bool = False
-                      ) -> Iterator[Dict[str, np.ndarray]]:
-        order = np.arange(len(self))
-        if shuffle:
-            self._host_rng.shuffle(order)
-        self.prefetch(order[:batch_size])
-        for lo in range(0, len(order), batch_size):
-            idx = order[lo:lo + batch_size]
-            if drop_remainder and len(idx) < batch_size:
-                return
-            self.prefetch(order[lo + batch_size:lo + 2 * batch_size])
-            yield self.raw_batch(idx)
 
 
 def shard_files_for_host(paths, process_index: Optional[int] = None,

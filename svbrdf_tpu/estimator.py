@@ -10,7 +10,6 @@ main.py:167-223; this gives library users a serving-friendly object:
 
 from __future__ import annotations
 
-import json
 import pathlib
 from typing import Optional, Sequence
 
@@ -34,16 +33,25 @@ class SvbrdfEstimator:
     @classmethod
     def from_checkpoint(cls, model_dir, dtype=jnp.float32,
                         image_size: int = 256) -> "SvbrdfEstimator":
+        """Accepts every model-dir layout `Checkpoint.load` accepts: our
+        Orbax state + meta.json, a reference `checkpoint.tar`, or the
+        legacy `model.data` (+`state.json`) pair — the architecture args
+        come from the checkpoint itself (restore_args), exactly as the
+        CLI setup path resolves them."""
         d = pathlib.Path(model_dir)
         ck = Checkpoint.load(d)
         if not ck.is_valid():
             raise FileNotFoundError(f"no checkpoint in '{model_dir}'")
-        meta = json.loads((d / "meta.json").read_text())
+        import argparse
+
+        spec = argparse.Namespace(model_type="single", use_coords=False,
+                                  model_depth=8, num_filters=64)
+        spec = ck.restore_args(spec)
         model = build_model(
-            meta.get("model_type", "single"),
-            use_coords=meta.get("use_coords", False),
-            depth=meta.get("model_depth", 8),
-            num_filters=meta.get("num_filters", 64),
+            spec.model_type,
+            use_coords=spec.use_coords,
+            depth=spec.model_depth,
+            num_filters=spec.num_filters,
             dtype=dtype,
         )
         sample = jnp.zeros((1, 1, image_size, image_size, 3), jnp.float32)

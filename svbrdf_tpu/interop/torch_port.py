@@ -80,9 +80,13 @@ def export_torch_state_dict(flax_params) -> Dict:
     """Inverse of port_torch_state_dict: Flax params -> reference-layout
     state_dict (numpy arrays, torch key names/layouts).
 
-    Lets models trained here be loaded by the PyTorch reference
-    (`model.load_state_dict(...)`, reference persistence.py:96-103). The
-    reference's unused enc1 merge FC is absent — load with strict=False.
+    Lets models trained here be loaded by the PyTorch reference with a
+    STRICT `model.load_state_dict(...)` (reference persistence.py:96-103):
+    the reference's MergeLayer always creates its Linear even for enc1,
+    where forward never applies it (global_track is None at enc1,
+    reference models.py:41-45,284); our Flax Merge creates no parameter in
+    that case, so the unused weight is synthesized as zeros — it is never
+    read by the reference's forward and receives no gradient.
     """
     flat = traverse_util.flatten_dict(flax_params)
     out = {}
@@ -93,6 +97,14 @@ def export_torch_state_dict(flax_params) -> Dict:
         elif path[-1] == "kernel" and w.ndim == 2:
             w = w.T
         out[_torch_key(path)] = w
+    for key in list(out):
+        m = re.fullmatch(r"(.*\.)?enc1\.conv\.conv\.weight", key)
+        if m:
+            merge_key = ((m.group(1) or "")
+                         + "enc1.conv.merge.fully_connected.weight")
+            if merge_key not in out:
+                c = out[key].shape[0]  # OIHW: enc1 output channel count
+                out[merge_key] = np.zeros((c, c), np.float32)
     return out
 
 

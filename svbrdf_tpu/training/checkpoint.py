@@ -74,7 +74,11 @@ class Checkpoint:
         meta: Dict[str, Any] = {}
         if isinstance(blob, dict) and "model_state_dict" in blob:
             state_dict = blob["model_state_dict"]
-            for k in ("model_type", "use_coords", "epoch"):
+            # model_depth / num_filters are our architecture extensions;
+            # genuine reference checkpoints lack them and get the
+            # reference defaults (8 / 64).
+            for k in ("model_type", "use_coords", "epoch",
+                      "model_depth", "num_filters"):
                 if k in blob:
                     meta[k] = blob[k]
         else:  # legacy: the file IS the state dict

@@ -145,15 +145,17 @@ def _mesh_size_for_batch(batch_size: int, n_available: int) -> int:
     return max(d for d in range(1, n_available + 1) if batch_size % d == 0)
 
 
-def _validation_loss(eval_steps: dict, params, data, val_idx, batch_size,
-                     root_key, epoch) -> float:
-    """Sample-weighted mean validation loss.
+def _validation_sums(eval_steps: dict, params, data, val_idx, batch_size,
+                     root_key, epoch):
+    """Sample-weighted (loss_sum, sample_count) over the validation split.
 
     Full batches run through the sharded eval step; a trailing partial
     batch runs at its TRUE size through a single-device step built on
     demand (keyed by its length), so no sample is ever duplicated into
     the statistic (reference protocol: plain mean over the split,
-    main.py:129-147). Each batch gets its own scene key.
+    main.py:129-147). Each batch gets its own scene key. Returning the
+    sums (not the mean) lets multi-host runs allreduce them into a GLOBAL
+    validation loss across unequal per-host shards.
     """
     # A validation key stream disjoint from training's fold_in(root, step+1)
     # (steps stay far below 1e9; fold_in rejects negative values).
@@ -167,7 +169,7 @@ def _validation_loss(eval_steps: dict, params, data, val_idx, batch_size,
                           else "remainder"]
         total += float(step(params, raw, key)) * len(vidx)
         count += len(vidx)
-    return total / count
+    return total, count
 
 
 def _make_training_mesh(batch_size: int, n_avail: int):
@@ -327,24 +329,37 @@ def run_training(args) -> float:
         if epoch % args.save_frequency == 0:
             save(epoch)
 
-        if (epoch % args.validation_frequency == 0 and len(val_idx) > 0):
+        if (epoch % args.validation_frequency == 0
+                and (len(val_idx) > 0 or pc > 1)):
             if pc > 1:
-                # Per-host local validation (single-device step, no
-                # collectives): host shards may have unequal validation
-                # counts, which would deadlock a collective eval program.
-                # Evaluate a host-local param copy so the jit stays local.
+                # Per-host local evaluation (single-device step, no
+                # collectives — host shards may have unequal validation
+                # counts, which would deadlock a collective eval program)
+                # over a host-local param copy, then a GLOBAL (sum, count)
+                # all-gather so the logged val_loss is the mean over ALL
+                # hosts' shards — identical on every host, same meaning as
+                # in single-host runs. Every process must reach the
+                # all-gather, even with an empty local split.
                 local_params = mesh_lib.fetch_local_tree(params)
                 local_steps = {local_batch: eval_steps["remainder"],
                                "remainder": eval_steps["remainder"]}
-                val_loss = _validation_loss(local_steps, local_params,
-                                            data, val_idx, local_batch,
-                                            root_key, epoch)
+                total, count = _validation_sums(local_steps, local_params,
+                                                data, val_idx, local_batch,
+                                                root_key, epoch)
+                from jax.experimental import multihost_utils
+
+                sums = multihost_utils.process_allgather(
+                    np.array([total, float(count)], np.float32))
+                total = float(sums[:, 0].sum())
+                count = float(sums[:, 1].sum())
             else:
-                val_loss = _validation_loss(eval_steps, params, data,
-                                            val_idx, batch_size, root_key,
-                                            epoch)
-            print(f"Epoch {epoch}, validation loss: {val_loss:f}")
-            writer.add_scalar("val_loss", val_loss, epoch * batch_count)
+                total, count = _validation_sums(eval_steps, params, data,
+                                                val_idx, batch_size,
+                                                root_key, epoch)
+            if count > 0:  # multi-host: no host may hold val samples
+                val_loss = total / count
+                print(f"Epoch {epoch}, validation loss: {val_loss:f}")
+                writer.add_scalar("val_loss", val_loss, epoch * batch_count)
 
     save(args.epochs - 1 if args.epochs > epoch_start else epoch_start)
     if profiling:

@@ -136,6 +136,39 @@ def test_main_entry_trains_and_visualizes_trained_model(tmp_path,
 
 
 @pytest.mark.slow
+def test_no_svbrdf_photo_folder_test_mode(tmp_path, toy_data_dir):
+    """Reference mode (c) end-to-end (dataset.py:117-125): --mode test
+    --no-svbrdf-input on a folder of bare photographs — dummy flat maps,
+    prediction grids written, and NO metrics.json (the dummy GT would make
+    the numbers meaningless)."""
+    from svbrdf_tpu.data import strips
+
+    model_dir = tmp_path / "model_nsv"
+    args = _args(toy_data_dir, model_dir, extra=["--epochs", "1"])
+    loop.run_training(args)
+
+    photos = tmp_path / "photos"
+    photos.mkdir()
+    rng = np.random.default_rng(5)
+    for i in range(2):
+        strips.write_image(str(photos / f"photo_{i}.png"),
+                           rng.uniform(0, 1, (32, 32, 3)))
+
+    targs = parse_args([
+        "--mode", "test", "--no-svbrdf-input",
+        "--input-dir", str(photos),
+        "--image-count", "1", "--used-image-count", "1",
+        "--image-size", "32", "--model-depth", "5", "--num-filters", "8",
+        "--model-dir", str(model_dir),
+    ])
+    written = loop.run_test(targs)
+    assert len(written) == 2
+    for w in written:
+        assert pathlib.Path(w).exists()
+    assert not (pathlib.Path(written[0]).parent / "metrics.json").exists()
+
+
+@pytest.mark.slow
 def test_resize_mode_training_runs(tmp_path, toy_data_dir):
     """scale_mode=resize exercises the float (non-uint8) host path."""
     model_dir = tmp_path / "model_resize"

@@ -34,6 +34,34 @@ def test_from_checkpoint_and_predict(tiny_checkpoint):
     np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-5)
 
 
+def test_from_torch_checkpoint_dir(tmp_path):
+    """A model dir holding only a reference-format checkpoint.tar works
+    through the same entry point (Checkpoint.load's torch auto-detection;
+    the architecture comes from the checkpoint's own metadata)."""
+    import torch
+
+    from svbrdf_tpu.interop import export_torch_state_dict
+
+    model = SingleViewModel(use_coords=False, num_filters=4, depth=4)
+    params = model.init(jax.random.key(1),
+                        jnp.zeros((1, 1, 16, 16, 3)))["params"]
+    d = tmp_path / "torch_model"
+    d.mkdir()
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_torch_state_dict(params).items()}
+    torch.save({"model_type": "single", "use_coords": False, "epoch": 3,
+                "model_state_dict": sd,
+                "model_depth": 4, "num_filters": 4}, d / "checkpoint.tar")
+
+    est = SvbrdfEstimator.from_checkpoint(d, image_size=16)
+    imgs = np.random.default_rng(1).uniform(
+        0, 1, (1, 16, 16, 3)).astype(np.float32)
+    ours = est.predict(imgs)
+    direct = np.asarray(model.apply({"params": params},
+                                    jnp.asarray(imgs), deterministic=True))
+    np.testing.assert_allclose(ours, direct, atol=1e-6)
+
+
 def test_predict_to_files(tiny_checkpoint, tmp_path):
     from svbrdf_tpu.data import strips
 

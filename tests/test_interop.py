@@ -19,10 +19,23 @@ def test_export_port_roundtrip():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_export_synthesizes_enc1_merge_weight():
+    """The reference model's strict load needs the enc1 merge FC weight it
+    always creates but never applies (reference models.py:41-45); the
+    export synthesizes it as zeros of the right shape."""
+    model = SingleViewModel(use_coords=False, num_filters=8, depth=5)
+    params = model.init(jax.random.key(0),
+                        jnp.zeros((1, 32, 32, 3)))["params"]
+    sd = export_torch_state_dict(params)
+    w = sd["generator.enc1.conv.merge.fully_connected.weight"]
+    assert w.shape == (8, 8)
+    assert not w.any()
+
+
 def test_export_loads_into_reference_model(reference_modules):
-    """Full-size export must load into the torch reference (strict=False:
-    the reference's unused enc1 merge FC has no counterpart here) and
-    produce the same forward output."""
+    """Full-size export must load into the torch reference with a STRICT
+    load_state_dict (the reference's own loading path,
+    persistence.py:96-103) and produce the same forward output."""
     import torch
 
     ref_models = reference_modules["models"]
@@ -33,9 +46,7 @@ def test_export_loads_into_reference_model(reference_modules):
     tmodel = ref_models.SingleViewModel(use_coords=False).eval()
     sd = {k: torch.from_numpy(np.ascontiguousarray(v))
           for k, v in export_torch_state_dict(params).items()}
-    missing, unexpected = tmodel.load_state_dict(sd, strict=False)
-    assert not unexpected
-    assert all("enc1.conv.merge" in k for k in missing)
+    tmodel.load_state_dict(sd, strict=True)
 
     rng = np.random.default_rng(2)
     x = rng.uniform(0, 1, (1, 256, 256, 3)).astype(np.float32)

@@ -39,8 +39,10 @@ def _launch(process_id: int, port: int, data_dir, model_dir):
 def test_two_process_training(tmp_path):
     from svbrdf_tpu.data import toy
 
+    # 200 train files -> 100 per host -> each host's 1% split holds one
+    # validation sample, so the global val_loss aggregation is exercised.
     data_dir = tmp_path / "data"
-    toy.generate_toy_dataset(str(data_dir), n_train=4, n_test=1, size=32,
+    toy.generate_toy_dataset(str(data_dir), n_train=200, n_test=1, size=32,
                              seed=17)
     model_dir = tmp_path / "model"
 
@@ -52,8 +54,8 @@ def test_two_process_training(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out[-4000:]}"
 
-    # Each process saw its own 2-file shard of the 4 train files.
-    assert "2 of 4 files" in outs[0] and "2 of 4 files" in outs[1]
+    # Each process saw its own 100-file shard of the 200 train files.
+    assert "100 of 200 files" in outs[0] and "100 of 200 files" in outs[1]
     assert "(2 processes)" in outs[0]
 
     # The training loss is a global (all-reduced) scalar: both processes
@@ -68,6 +70,18 @@ def test_two_process_training(tmp_path):
         losses.append(vals)
     assert losses[0] == losses[1]
     assert all(np.isfinite(v) for v in losses[0])
+
+    # The validation loss is GLOBAL (per-host (sum, count) all-gathered):
+    # every process must print the same finite value — per-host local
+    # validation would print each host's own shard mean instead.
+    val_losses = []
+    for out in outs:
+        vals = [float(line.rsplit("validation loss:", 1)[1])
+                for line in out.splitlines() if "validation loss:" in line]
+        assert vals, out[-2000:]
+        val_losses.append(vals)
+    assert val_losses[0] == val_losses[1]
+    assert all(np.isfinite(v) for v in val_losses[0])
 
     # Coordinated checkpoint: one state tree + one meta sidecar.
     assert (model_dir / "state").exists()

@@ -155,7 +155,7 @@ class TestValidationLoss:
         # 5 samples with per-sample loss == index, batch 2: the correct
         # sample-weighted mean is 2.0; the old np.resize padding would
         # wrap sample 4 into the last batch and report ~2.1667.
-        from svbrdf_tpu.training.loop import _validation_loss
+        from svbrdf_tpu.training.loop import _validation_sums
 
         class FakeData:
             def raw_batch(self, idx):
@@ -163,12 +163,14 @@ class TestValidationLoss:
 
         steps = {2: lambda p, raw, key: raw.mean(),
                  "remainder": lambda p, raw, key: raw.mean()}
-        val = _validation_loss(steps, None, FakeData(),
-                               np.arange(5), 2, jax.random.key(0), 0)
-        assert val == pytest.approx(2.0)
+        total, count = _validation_sums(steps, None, FakeData(),
+                                        np.arange(5), 2,
+                                        jax.random.key(0), 0)
+        assert count == 5
+        assert total / count == pytest.approx(2.0)
 
     def test_batches_get_distinct_keys(self):
-        from svbrdf_tpu.training.loop import _validation_loss
+        from svbrdf_tpu.training.loop import _validation_sums
 
         keys = []
 
@@ -180,7 +182,7 @@ class TestValidationLoss:
             keys.append(tuple(np.asarray(jax.random.key_data(key)).ravel()))
             return raw.mean()
 
-        _validation_loss({2: step, "remainder": step}, None, FakeData(),
+        _validation_sums({2: step, "remainder": step}, None, FakeData(),
                          np.arange(4), 2, jax.random.key(0), 0)
         assert len(set(keys)) == len(keys) == 2
 
