@@ -78,11 +78,32 @@ def _stratified_offsets(key, spp: int) -> jnp.ndarray:
     return samples
 
 
+def _blinn_smith_g1(xn, exponent):
+    """Smith masking for the Blinn-Phong NDF (Walter et al. 2007 §5.3).
+
+    Uses the Beckmann-equivalent width of the Phong lobe,
+    a = sqrt(0.5 * e + 1) * cos / sin, with the standard rational
+    approximation for a < 1.6 and 1 above — the same derived Smith-Blinn
+    term Redner's microfacet BSDF applies to its Phong lobe.
+    """
+    cos_t = jnp.clip(xn, _EPS, 1.0)
+    sin_t = jnp.sqrt(jnp.clip(1.0 - cos_t * cos_t, 1e-12, 1.0))
+    a = jnp.sqrt(0.5 * exponent + 1.0) * cos_t / sin_t
+    rational = ((3.535 * a + 2.181 * a * a)
+                / (1.0 + 2.276 * a + 2.577 * a * a))
+    return jnp.where(a < 1.6, rational, 1.0)
+
+
 def _blinn_brdf(wi, wo, normals, diffuse, roughness_blinn, specular):
     """Normalized Blinn microfacet + Schlick Fresnel + (1-F) Lambert.
 
-    roughness_blinn in (0, 1]: Blinn exponent n = 2/r^2 - 2 (the standard
-    Blinn-roughness mapping Redner uses for its 'roughness' texture).
+    roughness_blinn in (0, 1]: Blinn exponent e = 2/r - 2, i.e. Redner's
+    roughness convention r = 2/(e + 2) for its 'roughness' texture; the
+    reference feeds it GGX roughness maps as mean-channel ** 4 (reference
+    renderers.py:225 — ggx_to_blinn_roughness below). Under that mapping
+    the peak NDF values coincide exactly: D_blinn(n) = (e+2)/(2*pi)
+    = 1/(pi * r) = 1/(pi * alpha_ggx^2) = D_ggx(n); the cross-renderer
+    test pins this against the local GGX renderer.
     """
     h = normalize(wi + wo)
     nh = jnp.clip(dot(normals, h), _EPS, 1.0)
@@ -96,9 +117,9 @@ def _blinn_brdf(wi, wo, normals, diffuse, roughness_blinn, specular):
 
     f = specular + (1.0 - specular) * (1.0 - vh) ** 5
 
-    # Smith-style visibility approximation for the Blinn lobe.
-    g1 = lambda xn: 2.0 * xn / (xn + jnp.sqrt(r * r + (1 - r * r) * xn * xn))
-    g = g1(nv) * g1(nl)
+    # Derived Smith shadowing-masking for the Blinn lobe (see
+    # _blinn_smith_g1) — separable G1 product, as in Redner.
+    g = _blinn_smith_g1(nv, exponent) * _blinn_smith_g1(nl, exponent)
 
     spec = f * g * d / (4.0 * nv * nl)
     diff = (1.0 - f) * diffuse / _PI

@@ -55,6 +55,113 @@ def test_small_light_matches_point_light():
                                atol=1e-4)
 
 
+class TestBrdfFidelity:
+    """BRDF-level agreement with the local GGX renderer under the
+    reference's roughness conversion (VERDICT r2 #4) — not just limits."""
+
+    def _flat_specular_svbrdf(self, h, w, rough, spec=0.5):
+        from svbrdf_tpu.ops import codecs
+
+        flat_n = jnp.concatenate(
+            [jnp.zeros((h, w, 2)), jnp.ones((h, w, 1))], axis=-1)
+        return codecs.pack_svbrdf(flat_n, jnp.zeros((h, w, 3)),
+                                  jnp.full((h, w, 3), rough),
+                                  jnp.full((h, w, 3), spec))
+
+    @pytest.mark.parametrize("rough", [0.3, 0.5, 0.8])
+    def test_specular_peak_matches_local_ggx(self, rough):
+        """Under the reference's GGX->Blinn conversion (mean ** 4,
+        renderers.py:225) the two NDFs peak at exactly the same value:
+        D_blinn(n) = (e+2)/(2 pi) = 1/(pi r_blinn) = 1/(pi alpha_ggx^2)
+        = D_ggx(n). With camera and light colocated on the normal axis the
+        center pixel is retro-reflective (h = n, G = 1 on both sides), so
+        the small-light tracer must match the analytic GGX renderer there
+        to MC precision; total lobe energy agrees to the Blinn-vs-GGX tail
+        difference (<25%)."""
+        h = w = 17  # odd: exact center pixel at the patch origin
+        sv = self._flat_specular_svbrdf(h, w, rough)
+        scene = Scene.make([0.0, 0.0, 2.0], [0.0, 0.0, 2.0], [30.0] * 3)
+
+        old = pathtrace.LIGHT_SIZE
+        try:
+            pathtrace.LIGHT_SIZE = (1e-3, 1e-3)
+            ours = np.asarray(pathtrace.render(scene, sv, spp=(256, 8)))
+        finally:
+            pathtrace.LIGHT_SIZE = old
+
+        analytic = np.asarray(render.render(scene, sv))
+        coords = np.asarray(render.patch_coords(h, w))
+        light = np.array([0.0, 0.0, 2.0])
+        n_l = -light / np.linalg.norm(light)
+        wi = light - coords
+        wi /= np.linalg.norm(wi, axis=-1, keepdims=True)
+        cos_l = np.clip((-wi * n_l).sum(-1, keepdims=True), 0, None)
+        expected = analytic * cos_l
+
+        np.testing.assert_allclose(ours[8, 8], expected[8, 8], rtol=5e-3)
+        assert ours.sum() == pytest.approx(expected.sum(), rel=0.25)
+
+    def test_smith_g1_matches_exact_beckmann(self):
+        """The rational Smith-Blinn G1 (Walter et al. 2007 §5.3, the same
+        fit Redner uses) must track the EXACT Smith-Beckmann G1 of the
+        equivalent width to <1% over incidence angles and roughness."""
+        from scipy.special import erf  # noqa: F401  (fallback below)
+
+        for r in (0.05, 0.2, 0.6):
+            exponent = 2.0 / r - 2.0
+            cos_t = jnp.linspace(0.05, 0.999, 64)
+            ours = np.asarray(pathtrace._blinn_smith_g1(cos_t, exponent))
+            sin_t = np.sqrt(1.0 - np.asarray(cos_t) ** 2)
+            a = np.sqrt(0.5 * exponent + 1.0) * np.asarray(cos_t) / sin_t
+            lam = (erf(a) - 1.0) / 2.0 + np.exp(-a * a) / (
+                2.0 * a * np.sqrt(np.pi))
+            exact = 1.0 / (1.0 + lam)
+            np.testing.assert_allclose(ours, exact, atol=0.01)
+
+    def test_diffuse_term_matches_local_renderer(self):
+        """For specular=0 the two BRDF models share the exact same
+        (1-F) Lambert diffuse term — full-image agreement at high spp."""
+        rng = np.random.default_rng(21)
+        sv = jnp.asarray(diffuse_only_svbrdf(rng, 8, 8))
+        scene = Scene.make([0.4, -0.3, 1.8], [0.3, 0.2, 2.2], [30.0] * 3)
+        old = pathtrace.LIGHT_SIZE
+        try:
+            pathtrace.LIGHT_SIZE = (1e-3, 1e-3)
+            ours = np.asarray(pathtrace.render(scene, sv, spp=(64, 8)))
+        finally:
+            pathtrace.LIGHT_SIZE = old
+        analytic = np.asarray(render.render(scene, sv))
+        coords = np.asarray(render.patch_coords(8, 8))
+        light = np.array([0.3, 0.2, 2.2])
+        n_l = -light / np.linalg.norm(light)
+        wi = light - coords
+        wi /= np.linalg.norm(wi, axis=-1, keepdims=True)
+        cos_l = np.clip((-wi * n_l).sum(-1, keepdims=True), 0, None)
+        np.testing.assert_allclose(ours, analytic * cos_l, rtol=0.02,
+                                   atol=1e-5)
+
+
+@pytest.mark.slow
+def test_map_recovery_converges_through_tracer():
+    """Differentiability validation THROUGH the tracer (the reference's
+    notebook experiment for its Redner loss): recovering the diffuse map
+    from path-traced renders converges."""
+    from svbrdf_tpu.experiments import map_recovery
+    from tests.test_render import random_svbrdf as _rs
+
+    rng = np.random.default_rng(30)
+    target = jnp.asarray(_rs(rng, 16, 16))
+    result = map_recovery.recover_maps(
+        jax.random.key(31), target, optimize=("diffuse",), steps=80,
+        learning_rate=5e-2,
+        render_fn=pathtrace.make_render_fn(spp=(8, 4), seed=7))
+    first, last = float(result.losses[0]), float(result.losses[-1])
+    assert last < first * 0.4, (first, last)
+    d_err = float(jnp.mean(jnp.abs(result.svbrdf[..., 3:6]
+                                   - target[..., 3:6])))
+    assert d_err < 0.15, d_err
+
+
 def test_gradients_finite_nonzero():
     rng = np.random.default_rng(2)
     sv = jnp.asarray(random_svbrdf(rng, 8, 8))
