@@ -88,26 +88,35 @@ def mixed_loss(pred: jnp.ndarray, target: jnp.ndarray, key,
 def svbrdf_l1_loss_planes(pred_t: jnp.ndarray,
                           gt_t: jnp.ndarray) -> jnp.ndarray:
     """svbrdf_l1_loss on (B, 12, H, W) channel planes (identical value —
-    the four per-map mean-L1 terms are layout-invariant)."""
+    the four per-map mean-L1 terms are layout-invariant). Planes may be
+    bf16 (the TPU hot path); the elementwise math and reductions run in
+    f32 — the casts fuse into the elementwise kernels, no extra HBM."""
+    def seg(x, lo, hi):
+        return x[:, lo:hi].astype(jnp.float32)
+
     def log_seg(x, lo, hi):
-        return jnp.log(x[:, lo:hi] + EPSILON_L1)
+        return jnp.log(seg(x, lo, hi) + EPSILON_L1)
 
     return (
-        l1_loss(pred_t[:, 0:3], gt_t[:, 0:3])
+        l1_loss(seg(pred_t, 0, 3), seg(gt_t, 0, 3))
         + l1_loss(log_seg(pred_t, 3, 6), log_seg(gt_t, 3, 6))
-        + l1_loss(pred_t[:, 6:9], gt_t[:, 6:9])
+        + l1_loss(seg(pred_t, 6, 9), seg(gt_t, 6, 9))
         + l1_loss(log_seg(pred_t, 9, 12), log_seg(gt_t, 9, 12))
     )
 
 
-def _to_planes(svbrdf: jnp.ndarray) -> jnp.ndarray:
+def _to_planes(svbrdf: jnp.ndarray, dtype=None) -> jnp.ndarray:
     """NHWC (B, H, W, 12) or phase-major (B, h, w, 4, 12) -> (B, 12, H, W)
-    channel planes (the fused kernel's native layout)."""
+    channel planes (the fused kernel's native layout), dtype-preserving.
+    `dtype` casts BEFORE the transpose so the copy moves the smaller
+    representation (bf16 targets when the prediction is bf16)."""
     from svbrdf_tpu.ops import render_pallas
 
+    if dtype is not None:
+        svbrdf = svbrdf.astype(dtype)
     if svbrdf.ndim == 5:
-        return render_pallas.phase_to_planes(svbrdf.astype(jnp.float32))
-    return jnp.transpose(svbrdf.astype(jnp.float32), (0, 3, 1, 2))
+        return render_pallas.phase_to_planes(svbrdf)
+    return jnp.transpose(svbrdf, (0, 3, 1, 2))
 
 
 def rendering_loss_fused(pred: jnp.ndarray, target: jnp.ndarray, key,
@@ -123,7 +132,7 @@ def rendering_loss_fused(pred: jnp.ndarray, target: jnp.ndarray, key,
                                            n_random, n_specular)
     th = tile_h if tile_h > 0 else render_pallas.DEFAULT_TILE_H
     return render_pallas.rendering_loss_fused_planes(
-        _to_planes(pred), _to_planes(target), scenes, th)
+        _to_planes(pred), _to_planes(target, pred.dtype), scenes, th)
 
 
 rendering_loss_fused.accepts_phase = True
@@ -169,7 +178,7 @@ def make_loss_fn(kind: str = "mixed", renderer: str = "local",
                 scenes = sampling.generate_loss_scenes(
                     key, pred.shape[0], 3, 6)
                 pred_t = _to_planes(pred)
-                gt_t = _to_planes(target)
+                gt_t = _to_planes(target, pred.dtype)
                 return (l1_weight * svbrdf_l1_loss_planes(pred_t, gt_t)
                         + render_pallas.rendering_loss_fused_planes(
                             pred_t, gt_t, scenes))

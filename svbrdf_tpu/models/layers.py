@@ -324,8 +324,13 @@ class DecodingBlock(nn.Module):
             x = nn.leaky_relu(x, negative_slope=0.2)
         x = FoldedUpConv(self.features, dtype=self.dtype, impl=self.upconv,
                          name="conv1")(x)
-        x = _pad_1212(x)
-        x = nn.Conv(self.features, (4, 4), padding="VALID", use_bias=False,
+        # ZeroPad2d(1,2,1,2) + VALID conv expressed as the conv's own
+        # asymmetric padding — identical math (reference models.py:121-123),
+        # but XLA:TPU handles in-conv padding for free while an explicit
+        # pad materializes a misaligned 131^2 intermediate (measured
+        # 0.37 ms at 23% MXU on the dec2 level).
+        x = nn.Conv(self.features, (4, 4), padding=((1, 2), (1, 2)),
+                    use_bias=False,
                     kernel_init=conv_kernel_init(), dtype=self.dtype,
                     name="conv2")(x)
         mean = _spatial_mean(x)

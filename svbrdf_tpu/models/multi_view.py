@@ -84,7 +84,11 @@ class MultiViewModel(nn.Module):
                                        name="conv3")(x, g)
 
         b, h, w, _ = x.shape
-        svbrdf_phase = head_to_svbrdf(x.reshape(b, h, w, 4, 9))
         if output_layout == "phase":
-            return svbrdf_phase
+            # Compute-dtype maps for the fused loss (see SingleViewModel):
+            # halves the phase->planes transpose + kernel IO at bf16; the
+            # cast fuses into the decode pre-pack.
+            return head_to_svbrdf(x.reshape(b, h, w, 4, 9),
+                                  dtype=self.dtype)
+        svbrdf_phase = head_to_svbrdf(x.reshape(b, h, w, 4, 9))
         return L.phase_to_space(svbrdf_phase.reshape(b, h, w, 48), 12)

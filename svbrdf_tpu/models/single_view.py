@@ -17,15 +17,20 @@ from svbrdf_tpu.models.generator import Generator
 from svbrdf_tpu.ops import codecs
 
 
-def head_to_svbrdf(sv9: jnp.ndarray) -> jnp.ndarray:
-    """tanh 9-channel head output -> packed 12-channel SVBRDF in output ranges."""
+def head_to_svbrdf(sv9: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    """tanh 9-channel head output -> packed 12-channel SVBRDF in output
+    ranges. The decode runs in f32; `dtype` casts each map BEFORE the pack
+    so the cast fuses into the decode's elementwise chain (a post-pack
+    astype materializes a separate full-tensor copy — measured 0.76 ms at
+    256^2 batch 8)."""
     svbrdf = codecs.decode_svbrdf(jnp.tanh(sv9.astype(jnp.float32)))
     maps = codecs.unpack_svbrdf(svbrdf)
+    cast = (lambda x: x.astype(dtype)) if dtype is not None else (lambda x: x)
     return codecs.pack_svbrdf(
-        maps.normals,
-        codecs.encode_as_unit_interval(maps.diffuse),
-        codecs.encode_as_unit_interval(maps.roughness),
-        codecs.encode_as_unit_interval(maps.specular),
+        cast(maps.normals),
+        cast(codecs.encode_as_unit_interval(maps.diffuse)),
+        cast(codecs.encode_as_unit_interval(maps.roughness)),
+        cast(codecs.encode_as_unit_interval(maps.specular)),
     )
 
 
@@ -73,7 +78,13 @@ class SingleViewModel(nn.Module):
                     b2, h2 // 2, w2 // 2, 4, 12)
             return spatial
         b, h, w, _ = sv9.shape
-        svbrdf_phase = head_to_svbrdf(sv9.reshape(b, h, w, 4, 9))
         if output_layout == "phase":
-            return svbrdf_phase
+            # Training hot path: hand the maps to the fused loss in the
+            # COMPUTE dtype — at bf16 the phase->planes transpose and the
+            # loss kernel's IO move half the bytes. The decode runs in
+            # f32 (cast fused pre-pack); the public spatial output stays
+            # f32.
+            return head_to_svbrdf(sv9.reshape(b, h, w, 4, 9),
+                                  dtype=self.dtype)
+        svbrdf_phase = head_to_svbrdf(sv9.reshape(b, h, w, 4, 9))
         return L.phase_to_space(svbrdf_phase.reshape(b, h, w, 48), 12)

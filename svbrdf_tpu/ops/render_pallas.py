@@ -7,9 +7,10 @@ never materializes them: each grid program loads one (12, TH, W) SVBRDF
 tile pair into VMEM, shades all S scenes in registers/VMEM, and emits only
 the per-tile sum of |log(r_p + eps) - log(r_t + eps)|. The backward pass
 recomputes shading per tile (rematerialization) and produces SVBRDF-tile
-gradients via in-kernel autodiff of the same shade function — no hand-
-derived VJP to drift out of sync, and HBM traffic stays O(svbrdf), not
-O(renders).
+gradients via a HAND-DERIVED VJP (_scene_loss_grads) that reuses the
+primal's shared factors — ~2x the forward's work vs ~3x for the in-kernel
+autodiff it replaced, pinned against the jnp composition's autodiff by
+tests. HBM traffic stays O(svbrdf), not O(renders).
 
 Layout: SVBRDFs are transposed to channel-planes (B, 12, H, W) so each
 (TH, W) plane puts image width on the TPU lane dimension (W=256 -> two
@@ -133,6 +134,163 @@ def _shade_planes(planes, geom, color):
     return out
 
 
+# --- Hand-derived backward pass ---------------------------------------------
+#
+# The backward kernels originally differentiated _scene_loss_sum with
+# in-kernel jax.grad (~3x the forward's work after Mosaic scheduling); the
+# manual VJP below computes the same gradients from a single primal pass
+# per side with explicit reuse of the shared factors (geometry, D/G terms,
+# per-channel F), targeting ~2x forward. Tests pin it to the jnp
+# composition's autodiff at 2e-4 (tests/test_render_pallas.py), which is
+# the same oracle the autodiff kernels were pinned to.
+#
+# Derivative conventions at the clamp boundaries match jnp/jax autodiff on
+# the same expressions: d max(x, k)/dx = [x >= k] (ties are measure-zero
+# on real data), chi+ factors are boolean casts treated as constants.
+
+
+def _shade_side(planes, geom, color):
+    """One side's primal shade + the per-channel intermediates its manual
+    backward needs. Returns (outs, raw_dots, shared, per_channel)."""
+    ((vx, vy, vz), (lx, ly, lz), (hx, hy, hz), dist_sq, VH, LH,
+     one_minus_vh5) = geom
+    nx, ny, nz = planes[0], planes[1], planes[2]
+
+    nh_raw = nx * hx + ny * hy + nz * hz
+    vn_raw = vx * nx + vy * ny + vz * nz
+    ln_raw = lx * nx + ly * ny + lz * nz
+    NH = jnp.maximum(nh_raw, _EPS)
+    VN = jnp.maximum(vn_raw, _EPS)
+    LN = jnp.maximum(ln_raw, _EPS)
+    NH_sq = NH * NH
+    ln_pos = jnp.maximum(ln_raw, 0.0)
+    scale = ln_pos / dist_sq
+
+    outs, chans = [], []
+    for c in range(3):
+        albedo = planes[3 + c]
+        spec = planes[9 + c]
+        rough_raw = planes[6 + c]
+        rough = jnp.maximum(rough_raw, _EPS)
+        a = rough ** 4
+
+        denom_raw = NH_sq * (a + (1.0 - NH_sq) / NH_sq)
+        denom = jnp.maximum(denom_raw, _EPS)
+        chi = (NH > 0.0).astype(NH.dtype)
+        D = a * chi / (_PI * denom * denom)
+
+        # g1(XH, XN) with XH/XN > 0 guaranteed by the clamps (chi_x == 1).
+        tv = (1.0 - VN * VN) / (VN * VN)
+        sv = jnp.sqrt(1.0 + a * tv)
+        g1v = 2.0 / (1.0 + sv)
+        tl = (1.0 - LN * LN) / (LN * LN)
+        sl = jnp.sqrt(1.0 + a * tl)
+        g1l = 2.0 / (1.0 + sl)
+        G = g1v * g1l
+
+        inv_4vnln = 1.0 / (4.0 * VN * LN)
+        spec_base = G * D * inv_4vnln
+        F = spec + (1.0 - spec) * one_minus_vh5
+        f = (1.0 - F) * albedo / _PI + F * spec_base
+        outs.append(f * color[c] * scale)
+        chans.append((albedo, spec, rough_raw, rough, a, denom_raw, denom,
+                      chi, D, tv, sv, g1v, tl, sl, g1l, G, inv_4vnln,
+                      spec_base, F, f))
+    shared = (NH, VN, LN, NH_sq, ln_pos, scale,
+              (nh_raw, vn_raw, ln_raw), dist_sq)
+    return outs, shared, chans
+
+
+def _side_bwd(planes, geom, color, shared, chans, u):
+    """Gradient of sum_c u[c] * out_c wrt one side's 12 planes.
+
+    u: per-channel upstream cotangents (same shape as a plane). Returns the
+    (12, TH, W) gradient stacked in plane order.
+    """
+    ((vx, vy, vz), (lx, ly, lz), (hx, hy, hz), dist_sq, VH, LH,
+     one_minus_vh5) = geom
+    (NH, VN, LN, NH_sq, ln_pos, scale,
+     (nh_raw, vn_raw, ln_raw), _dist) = shared
+
+    zero = jnp.zeros_like(NH)
+    dalbedo, drough, dspec = [], [], []
+    A_NH = zero
+    A_VN = zero
+    A_LN = zero
+    A_lp = zero
+    for c in range(3):
+        (albedo, spec, rough_raw, rough, a, denom_raw, denom, chi, D,
+         tv, sv, g1v, tl, sl, g1l, G, inv_4vnln, spec_base, F, f) = chans[c]
+        w = u[c] * color[c]
+        ws = w * scale
+        wsF = ws * F
+
+        # Direct per-channel planes.
+        dalbedo.append(ws * (1.0 - F) / _PI)
+        dspec.append(ws * (1.0 - one_minus_vh5) * (spec_base - albedo / _PI))
+
+        # d spec_base / d alpha_sq.
+        mask_denom = (denom_raw >= _EPS).astype(zero.dtype)
+        inv_denom = 1.0 / denom
+        dD_da = chi * (denom - 2.0 * a * NH_sq * mask_denom) * (
+            inv_denom * inv_denom * inv_denom) / _PI
+        dg1v_da = -tv / (sv * (1.0 + sv) * (1.0 + sv))
+        dg1l_da = -tl / (sl * (1.0 + sl) * (1.0 + sl))
+        dG_da = dg1v_da * g1l + g1v * dg1l_da
+        dsb_da = (dG_da * D + G * dD_da) * inv_4vnln
+        mask_r = (rough_raw >= _EPS).astype(zero.dtype)
+        drough.append(wsF * dsb_da * 4.0 * rough * rough * rough * mask_r)
+
+        # Accumulate the normal-path cotangents.
+        # d spec_base / d NH (through denom): d denom_raw / d NH = 2 NH (a-1).
+        dsb_dNH = (G * inv_4vnln) * (
+            -2.0 * a * chi * (inv_denom * inv_denom * inv_denom) / _PI
+        ) * 2.0 * NH * (a - 1.0) * mask_denom
+        # d spec_base / d VN: through g1v and the 1/(4 VN LN) factor.
+        dg1v_dVN = 2.0 * a / ((1.0 + sv) * (1.0 + sv) * sv * VN * VN * VN)
+        dsb_dVN = (dg1v_dVN * g1l * D - G * D / VN) * inv_4vnln
+        dg1l_dLN = 2.0 * a / ((1.0 + sl) * (1.0 + sl) * sl * LN * LN * LN)
+        dsb_dLN = (g1v * dg1l_dLN * D - G * D / LN) * inv_4vnln
+
+        A_NH = A_NH + wsF * dsb_dNH
+        A_VN = A_VN + wsF * dsb_dVN
+        A_LN = A_LN + wsF * dsb_dLN
+        A_lp = A_lp + w * f / dist_sq
+
+    m_nh = (nh_raw >= _EPS).astype(zero.dtype)
+    m_vn = (vn_raw >= _EPS).astype(zero.dtype)
+    m_ln = (ln_raw >= _EPS).astype(zero.dtype)
+    m_lp = (ln_raw >= 0.0).astype(zero.dtype)
+    cn = A_NH * m_nh
+    cv = A_VN * m_vn
+    cl = A_LN * m_ln + A_lp * m_lp
+    dnx = cn * hx + cv * vx + cl * lx
+    dny = cn * hy + cv * vy + cl * ly
+    dnz = cn * hz + cv * vz + cl * lz
+
+    return jnp.stack([dnx, dny, dnz] + dalbedo + drough + dspec)
+
+
+def _scene_loss_grads(pred_tile, gt_tile, scene_vec, x, y, want_dgt):
+    """Hand-derived per-scene gradients of _scene_loss_sum wrt pred (and
+    optionally gt) planes. Returns (dpred, dgt-or-None)."""
+    cam = scene_vec[0:3]
+    light = scene_vec[3:6]
+    color = scene_vec[6:9]
+    geom = _scene_geometry(cam, light, x, y)
+    rp, shr_p, ch_p = _shade_side(pred_tile, geom, color)
+    rt, shr_t, ch_t = _shade_side(gt_tile, geom, color)
+    # sign(log(rp+eps) - log(rt+eps)) == sign(rp - rt): log is monotone.
+    sign = [jnp.sign(rp[c] - rt[c]) for c in range(3)]
+    u_pred = [sign[c] / (rp[c] + EPSILON_RENDER) for c in range(3)]
+    dpred = _side_bwd(pred_tile, geom, color, shr_p, ch_p, u_pred)
+    if not want_dgt:
+        return dpred, None
+    u_gt = [-sign[c] / (rt[c] + EPSILON_RENDER) for c in range(3)]
+    dgt = _side_bwd(gt_tile, geom, color, shr_t, ch_t, u_gt)
+    return dpred, dgt
+
+
 def _patch_xy(tile_shape, row0, col0, height, width):
     # TPU iota must be integer-typed; cast after.
     col = jax.lax.broadcasted_iota(jnp.int32, tile_shape, 1).astype(
@@ -169,8 +327,10 @@ def _fwd_kernel(scene_ref, pred_ref, gt_ref, out_ref, *, tile_h, tile_w,
                 height, width, n_scenes):
     row0 = pl.program_id(1) * tile_h
     col0 = pl.program_id(2) * tile_w
-    pred_tile = pred_ref[0]
-    gt_tile = gt_ref[0]
+    # Inputs may be bf16 planes (the TPU hot path — halves kernel IO);
+    # all shading math runs in f32.
+    pred_tile = pred_ref[0].astype(jnp.float32)
+    gt_tile = gt_ref[0].astype(jnp.float32)
     x, y = _patch_xy(pred_tile.shape[1:], row0, col0, height, width)
 
     # fori_loop keeps the kernel body compact — fully unrolling S scenes
@@ -189,8 +349,8 @@ def _bwd_kernel(scene_ref, pred_ref, gt_ref, g_ref, dpred_ref, dgt_ref, *,
                 tile_h, tile_w, height, width, n_scenes):
     row0 = pl.program_id(1) * tile_h
     col0 = pl.program_id(2) * tile_w
-    pred_tile = pred_ref[0]
-    gt_tile = gt_ref[0]
+    pred_tile = pred_ref[0].astype(jnp.float32)
+    gt_tile = gt_ref[0].astype(jnp.float32)
     x, y = _patch_xy(pred_tile.shape[1:], row0, col0, height, width)
 
     # The loss is a SUM over scenes, so its gradient is the sum of
@@ -198,16 +358,16 @@ def _bwd_kernel(scene_ref, pred_ref, gt_ref, g_ref, dpred_ref, dgt_ref, *,
     # differentiation through the loop needed).
     def body(s, acc):
         dp_acc, dt_acc = acc
-        dp, dt = jax.grad(_scene_loss_sum, argnums=(0, 1))(
-            pred_tile, gt_tile, _read_scene(scene_ref, s), x, y)
+        dp, dt = _scene_loss_grads(pred_tile, gt_tile,
+                                   _read_scene(scene_ref, s), x, y, True)
         return dp_acc + dp, dt_acc + dt
 
     dp, dt = jax.lax.fori_loop(
         0, n_scenes, body,
         (jnp.zeros_like(pred_tile), jnp.zeros_like(gt_tile)))
     g = g_ref[0, 0]
-    dpred_ref[0] = dp * g
-    dgt_ref[0] = dt * g
+    dpred_ref[0] = (dp * g).astype(dpred_ref.dtype)
+    dgt_ref[0] = (dt * g).astype(dgt_ref.dtype)
 
 
 def _bwd_kernel_pred_only(scene_ref, pred_ref, gt_ref, g_ref, dpred_ref, *,
@@ -218,17 +378,17 @@ def _bwd_kernel_pred_only(scene_ref, pred_ref, gt_ref, g_ref, dpred_ref, *,
     reference likewise never computes target grads)."""
     row0 = pl.program_id(1) * tile_h
     col0 = pl.program_id(2) * tile_w
-    pred_tile = pred_ref[0]
-    gt_tile = gt_ref[0]
+    pred_tile = pred_ref[0].astype(jnp.float32)
+    gt_tile = gt_ref[0].astype(jnp.float32)
     x, y = _patch_xy(pred_tile.shape[1:], row0, col0, height, width)
 
     def body(s, acc):
-        dp = jax.grad(_scene_loss_sum, argnums=0)(
-            pred_tile, gt_tile, _read_scene(scene_ref, s), x, y)
+        dp, _ = _scene_loss_grads(pred_tile, gt_tile,
+                                  _read_scene(scene_ref, s), x, y, False)
         return acc + dp
 
     dp = jax.lax.fori_loop(0, n_scenes, body, jnp.zeros_like(pred_tile))
-    dpred_ref[0] = dp * g_ref[0, 0]
+    dpred_ref[0] = (dp * g_ref[0, 0]).astype(dpred_ref.dtype)
 
 
 def _grid_call(kernel, pred_t, gt_t, scenes9, extra_inputs, extra_specs,
@@ -299,14 +459,14 @@ def _fused_bwd(tile_h, tile_w, want_dgt, residuals, g):
     if want_dgt:
         dpred, dgt = _grid_call(
             _bwd_kernel, pred_t, gt_t, scenes9, [g_scaled], [g_spec],
-            (jax.ShapeDtypeStruct(pred_t.shape, jnp.float32),
-             jax.ShapeDtypeStruct(gt_t.shape, jnp.float32)),
+            (jax.ShapeDtypeStruct(pred_t.shape, pred_t.dtype),
+             jax.ShapeDtypeStruct(gt_t.shape, gt_t.dtype)),
             (svbrdf_out, svbrdf_out),
             tile_h, tile_w, _use_interpret())
         return dpred, dgt, None
     dpred = _grid_call(
         _bwd_kernel_pred_only, pred_t, gt_t, scenes9, [g_scaled], [g_spec],
-        jax.ShapeDtypeStruct(pred_t.shape, jnp.float32),
+        jax.ShapeDtypeStruct(pred_t.shape, pred_t.dtype),
         svbrdf_out,
         tile_h, tile_w, _use_interpret())
     # The gt cotangent is structurally required but sliced off upstream:
@@ -328,10 +488,11 @@ def rendering_loss_fused(pred: jnp.ndarray, target: jnp.ndarray,
                          want_target_grad: bool = False) -> jnp.ndarray:
     """Fused rendering loss over per-item scene sets.
 
-    pred/target: (B, H, W, 12) channels-last SVBRDFs; scenes: Scene with
-    (B, S, 3) fields. Equals losses.rendering_loss's value for the same
-    scene set (tested), with O(tile) VMEM — both H and W are tiled, so
-    arbitrary resolutions (tested to 1024^2) fit the 16 MB VMEM budget.
+    pred/target: (B, H, W, 12) channels-last SVBRDFs (f32 here; the bf16
+    hot path enters through rendering_loss_fused_planes); scenes: Scene
+    with (B, S, 3) fields. Equals losses.rendering_loss's value for the
+    same scene set (tested), with O(tile) VMEM — both H and W are tiled,
+    so arbitrary resolutions (tested to 1024^2) fit the 16 MB VMEM budget.
     tile_w=0 -> min(width, MAX_TILE_W).
 
     want_target_grad=False (default) skips the target's reverse sweep in
@@ -353,9 +514,10 @@ def rendering_loss_fused_planes(pred_t: jnp.ndarray, gt_t: jnp.ndarray,
                                 want_target_grad: bool = False
                                 ) -> jnp.ndarray:
     """Planes-layout entry: pred_t/gt_t are (B, 12, H, W) channel planes —
-    the kernel's native layout. Callers that already hold a phase-major or
-    planar prediction (e.g. the phase-tail model) use this to skip the
-    NHWC round-trip."""
+    the kernel's native layout, f32 or bf16 (bf16 halves the kernel's HBM
+    IO and the upstream transpose traffic; all in-kernel math is f32).
+    Callers that already hold a phase-major or planar prediction (e.g. the
+    phase-tail model) use this to skip the NHWC round-trip."""
     if not want_target_grad:
         gt_t = jax.lax.stop_gradient(gt_t)
     scenes9 = pack_scenes(scenes)
@@ -368,8 +530,7 @@ def rendering_loss_fused_planes(pred_t: jnp.ndarray, gt_t: jnp.ndarray,
         # silently drop rows/cols from the loss and their gradients.
         raise ValueError(
             f"tile ({th}, {tw}) must divide the image ({height}, {width})")
-    return _fused_loss_planes(pred_t.astype(jnp.float32),
-                              gt_t.astype(jnp.float32), scenes9, th, tw,
+    return _fused_loss_planes(pred_t, gt_t, scenes9, th, tw,
                               want_target_grad)
 
 

@@ -44,52 +44,93 @@ def _prepare(key, raw_batch, prep: PrepConfig):
     )
 
 
-class AutoLayoutStep:
-    """Train step compiled with AUTO layouts for the donated state args.
+def compute_cast(params, dtype):
+    """bf16 'compute copies' of the master params: every >=2-D leaf (conv /
+    dense kernels — 99.9% of the bytes) cast to `dtype`; 1-D leaves
+    (biases, norm scales) stay f32, exactly as the flax modules would cast
+    them per-use anyway. Carrying this tree across steps removes the
+    per-step f32 param reads the in-step casts cost (~0.4 ms at 80M
+    params on v5e)."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.ndim(x) >= 2 else x, params)
 
-    By default XLA assigns the jit-boundary layout to params/opt_state,
-    then inserts per-step relayout copies for every conv kernel whose
-    compute layout differs (~2.4 ms/step for the 256^2 U-Net on v5e).
-    Compiling with `Format(Layout.AUTO)` on the state arguments lets the
-    compiler pick ONE layout used both at the boundary and in compute; the
-    state is re-laid-out once, on the first call, and the in/out layouts
-    match so donation stays copy-free.
+
+class TrainStep:
+    """Callable train step owning its compile strategy and (for bf16
+    models) the carried compute-param tree.
+
+    step(params, opt_state, raw_batch, key) -> (params, opt_state, loss) —
+    the compute tree is internal state: derived from `params` on first
+    call, donated through every step, and re-emitted by the step's fused
+    Adam update (the f32 -> bf16 cast rides the update kernel's epilogue
+    instead of re-reading the f32 masters each step). Gradients are taken
+    wrt the bf16 compute tree, so weight-grads arrive in bf16 — standard
+    mixed-precision training; the Adam moments stay f32.
+
+    auto_layout: compile with `Format(Layout.AUTO)` on the donated state
+    args. By default XLA assigns the jit-boundary layout to
+    params/opt_state, then inserts per-step relayout copies for every conv
+    kernel whose compute layout differs (~2.4 ms/step for the 256^2 U-Net
+    on v5e); AUTO lets the compiler pick ONE layout, the state is
+    re-laid-out once on the first call, and donation stays copy-free.
     """
 
-    def __init__(self, jitted):
+    def __init__(self, jitted, compute_dtype=None, auto_layout=False):
         self._jit = jitted
+        self._compute_dtype = compute_dtype
+        self._auto_layout = auto_layout
         self._compiled = None
+        self._compute = None
 
-    def lower(self, *args):
-        return self._jit.lower(*args)
+    def _ensure_compute(self, params):
+        if self._compute_dtype is not None and self._compute is None:
+            self._compute = jax.jit(compute_cast, static_argnums=1)(
+                params, self._compute_dtype)
+        return self._compute
+
+    def lower(self, params, opt_state, raw_batch, key):
+        c = self._ensure_compute(params)
+        return self._jit.lower(params, opt_state, c, raw_batch, key)
+
+    def aot_compile(self, params, opt_state, raw_batch, key):
+        """Compile without executing — multi-host runs sync a barrier
+        between compilation and first collective execution (loop.py)."""
+        c = self._ensure_compute(params)
+        self._compiled = self._jit.lower(params, opt_state, c, raw_batch,
+                                         key).compile()
 
     def __call__(self, params, opt_state, raw_batch, key):
-        if self._compiled is None:
+        compute = self._ensure_compute(params)
+        if self._auto_layout and self._compiled is None:
             # AUTO-layout lowering needs abstract args (concrete arrays
             # carry a committed layout, which would conflict).
             abstract = jax.tree.map(
                 lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype),
-                (params, opt_state, raw_batch, key))
+                (params, opt_state, compute, raw_batch, key))
             self._compiled = self._jit.lower(*abstract).compile()
             fmts = self._compiled.input_formats[0]
             params = jax.device_put(params, fmts[0])
             opt_state = jax.device_put(opt_state, fmts[1])
-        return self._compiled(params, opt_state, raw_batch, key)
+            if compute is not None:
+                compute = jax.device_put(compute, fmts[2])
+        fn = self._compiled if self._compiled is not None else self._jit
+        params, opt_state, self._compute, loss = fn(
+            params, opt_state, compute, raw_batch, key)
+        return params, opt_state, loss
 
 
 def make_train_step(model, optimizer: optax.GradientTransformation,
                     loss_fn: Callable, prep: PrepConfig,
                     mesh=None, donate: bool = True,
                     auto_layout: bool = None):
-    """Build the jitted train step.
+    """Build the train step (a TrainStep callable).
 
     step(params, opt_state, raw_batch, key) -> (params, opt_state, loss).
     raw_batch: {'inputs': (B, N, H, W, 3), 'svbrdf': (B, H, W, 12)
                 [, 'partner_svbrdf': (B, H, W, 12)]} host-decoded strips.
-    auto_layout (None = on for single-process TPU runs) wraps the step in
-    AutoLayoutStep, which removes XLA's per-step conv-kernel relayout
-    copies. The wrapper AOT-compiles on first call; multi-host runs manage
-    compilation themselves (loop.py) and keep the plain jit.
+    auto_layout (None = on for single-process TPU runs) removes XLA's
+    per-step conv-kernel relayout copies (see TrainStep). bf16 models get
+    carried bf16 compute copies of the f32 master params (compute_cast).
     """
 
     # Phase-direct loss path: when the model can emit phase-major maps and
@@ -101,7 +142,11 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
         if (getattr(model, "supports_phase_output", False)
             and getattr(loss_fn, "accepts_phase", False)) else {})
 
-    def step(params, opt_state, raw_batch, key):
+    compute_dtype = (jnp.bfloat16
+                     if getattr(model, "dtype", None) == jnp.bfloat16
+                     else None)
+
+    def step(params, opt_state, compute, raw_batch, key):
         k_prep, k_drop, k_loss = jax.random.split(key, 3)
         batch = _prepare(k_prep, raw_batch, prep)
 
@@ -111,12 +156,29 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
                                rngs={"dropout": k_drop}, **phase_kwargs)
             return loss_fn(pred, batch["svbrdf"], k_loss)
 
-        loss, grads = jax.value_and_grad(loss_of)(params)
+        # Differentiate wrt the bf16 compute tree when carried: the conv
+        # weight-grads then arrive in bf16 and the f32 -> bf16 promotion
+        # fuses into Adam's elementwise update (reads halve); without a
+        # compute tree this is the plain f32 step.
+        loss, grads = jax.value_and_grad(loss_of)(
+            params if compute is None else compute)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
-        return new_params, new_opt_state, loss
+        if compute is None:
+            new_compute = None
+        else:
+            # Recompute p + u for the bf16 copy instead of casting
+            # new_params: the duplicate add lets XLA multi-output-fuse the
+            # cast into the SAME update fusion (a cast of new_params is a
+            # consumer of another fusion's output and runs as its own
+            # full-tensor pass — measured 0.75 ms at 80M params).
+            new_compute = jax.tree.map(
+                lambda p, u, c: ((p + u.astype(p.dtype)).astype(c.dtype)
+                                 if c.dtype != p.dtype else p + u.astype(p.dtype)),
+                params, updates, compute)
+        return new_params, new_opt_state, new_compute, loss
 
-    donate_args = (0, 1) if donate else ()
+    donate_args = (0, 1, 2) if donate else ()
     if auto_layout is None:
         auto_layout = (jax.default_backend() == "tpu"
                        and jax.process_count() == 1)
@@ -126,11 +188,13 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
             from jax.experimental.layout import Format, Layout
 
             auto = Format(Layout.AUTO)
-            return AutoLayoutStep(jax.jit(
-                step, in_shardings=(auto, auto, None, None),
-                out_shardings=(auto, auto, None),
-                donate_argnums=donate_args))
-        return jax.jit(step, donate_argnums=donate_args)
+            jitted = jax.jit(
+                step, in_shardings=(auto, auto, auto, None, None),
+                out_shardings=(auto, auto, auto, None),
+                donate_argnums=donate_args)
+            return TrainStep(jitted, compute_dtype, auto_layout=True)
+        return TrainStep(jax.jit(step, donate_argnums=donate_args),
+                         compute_dtype)
 
     repl = mesh_lib.replicated_sharding(mesh)
     data = mesh_lib.batch_sharding(mesh)
@@ -139,16 +203,16 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
 
         auto = Format(Layout.AUTO, repl)
         jitted = jax.jit(step,
-                         in_shardings=(auto, auto, data, repl),
-                         out_shardings=(auto, auto, repl),
+                         in_shardings=(auto, auto, auto, data, repl),
+                         out_shardings=(auto, auto, auto, repl),
                          donate_argnums=donate_args)
-        return AutoLayoutStep(jitted)
-    return jax.jit(
+        return TrainStep(jitted, compute_dtype, auto_layout=True)
+    return TrainStep(jax.jit(
         step,
-        in_shardings=(repl, repl, data, repl),
-        out_shardings=(repl, repl, repl),
+        in_shardings=(repl, repl, repl, data, repl),
+        out_shardings=(repl, repl, repl, repl),
         donate_argnums=donate_args,
-    )
+    ), compute_dtype)
 
 
 def make_eval_step(model, loss_fn: Callable, prep: PrepConfig, mesh=None):

@@ -291,10 +291,9 @@ def run_training(args) -> float:
                     # per-host compile skew can exceed the collective
                     # context-init timeout (Gloo's 30 s KV wait on CPU).
                     key0 = jax.random.fold_in(root_key, 1)
-                    compiled_step = train_step.lower(
-                        params, opt_state, raw, key0).compile()
+                    train_step.aot_compile(params, opt_state, raw, key0)
+                    compiled_step = train_step
                     mesh_lib.sync_hosts("train_step_compiled")
-                    train_step = compiled_step
             batch_index = epoch * batch_count + i
             key = jax.random.fold_in(root_key, batch_index + 1)
 

@@ -91,6 +91,35 @@ def test_phase_direct_loss_matches_spatial(case):
                                rtol=1e-5, atol=1e-7)
 
 
+def test_bf16_planes_match_f32(case):
+    """bf16 planes (the TPU hot path: half the transpose + kernel IO)
+    give the same loss/grads as f32 up to bf16 input quantization, and the
+    pred gradient comes back in bf16."""
+    pred, target, scenes = case
+    pred_t = jnp.transpose(pred, (0, 3, 1, 2))
+    gt_t = jnp.transpose(target, (0, 3, 1, 2))
+
+    f32 = render_pallas.rendering_loss_fused_planes(pred_t, gt_t, scenes,
+                                                    16)
+    bf16 = render_pallas.rendering_loss_fused_planes(
+        pred_t.astype(jnp.bfloat16), gt_t.astype(jnp.bfloat16), scenes, 16)
+    np.testing.assert_allclose(float(bf16), float(f32), rtol=2e-2)
+
+    g = jax.grad(lambda p: render_pallas.rendering_loss_fused_planes(
+        p, gt_t.astype(jnp.bfloat16), scenes, 16))(
+            pred_t.astype(jnp.bfloat16))
+    assert g.dtype == jnp.bfloat16
+    # Oracle: the f32 path on the SAME quantized inputs — |.| sign flips
+    # where rp ~ rt then agree exactly; the remaining difference is the
+    # bf16 rounding of the gradient itself.
+    pq = pred_t.astype(jnp.bfloat16).astype(jnp.float32)
+    gq = gt_t.astype(jnp.bfloat16).astype(jnp.float32)
+    g32 = jax.grad(lambda p: render_pallas.rendering_loss_fused_planes(
+        p, gq, scenes, 16))(pq)
+    np.testing.assert_allclose(np.asarray(g, np.float32),
+                               np.asarray(g32), rtol=1e-2, atol=1e-5)
+
+
 def test_loss_fn_fused_variant(case):
     pred, target, _ = case
     fn = losses.make_loss_fn("mixed", "local", fused=True)

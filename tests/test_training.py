@@ -295,6 +295,64 @@ class TestPhaseDirectTrainStep:
         assert abs(results[0] - results[1]) < 1e-5 * max(1, abs(results[0]))
 
 
+class TestComputeParamCarry:
+    """bf16 models train through carried bf16 compute copies of the f32
+    master params (mixed-precision: bf16 weight-grads, f32 Adam state)."""
+
+    def _setup(self, dtype):
+        import optax
+
+        from svbrdf_tpu import losses
+        from svbrdf_tpu.models import SingleViewModel
+        from svbrdf_tpu.parallel.step import PrepConfig, make_train_step
+
+        model = SingleViewModel(num_filters=4, depth=4, dtype=dtype)
+        optimizer = optax.adam(1e-4)
+        loss_fn = losses.make_loss_fn("mixed", "local", fused=False)
+        prep = PrepConfig(1, True, False, False)
+        step = make_train_step(model, optimizer, loss_fn, prep, mesh=None,
+                               donate=False)
+        rng = np.random.default_rng(0)
+        sv = rng.uniform(0.1, 0.9, (2, 16, 16, 12)).astype(np.float32)
+        raw = {"inputs": np.zeros((2, 0, 16, 16, 3), np.float32),
+               "svbrdf": sv}
+        key = jax.random.key(313)
+        params = model.init(jax.random.fold_in(key, 1),
+                            jnp.zeros((1, 1, 16, 16, 3)))["params"]
+        return step, optimizer, params, raw, key
+
+    def test_bf16_carry_stays_in_sync_and_converges(self):
+        from svbrdf_tpu.parallel.step import compute_cast
+
+        step, optimizer, params, raw, key = self._setup(jnp.bfloat16)
+        assert step._compute_dtype == jnp.bfloat16
+        opt_state = optimizer.init(params)
+        losses_seen = []
+        for i in range(3):
+            params, opt_state, loss = step(params, opt_state, raw,
+                                           jax.random.fold_in(key, i))
+            losses_seen.append(float(loss))
+        assert all(np.isfinite(v) for v in losses_seen)
+
+        # Masters stay f32; the carried tree is their bf16 cast, exactly.
+        for a in jax.tree.leaves(params):
+            assert a.dtype == jnp.float32
+        expect = compute_cast(params, jnp.bfloat16)
+        for a, b in zip(jax.tree.leaves(step._compute),
+                        jax.tree.leaves(expect)):
+            assert a.dtype == b.dtype
+            np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                          np.asarray(b, np.float32))
+
+    def test_f32_model_has_no_compute_tree(self):
+        step, optimizer, params, raw, key = self._setup(jnp.float32)
+        assert step._compute_dtype is None
+        opt_state = optimizer.init(params)
+        _, _, loss = step(params, opt_state, raw, key)
+        assert np.isfinite(float(loss))
+        assert step._compute is None
+
+
 class TestAutoLayoutStep:
     def test_matches_plain_step(self):
         """auto_layout=True (AUTO compiler-chosen layouts for the donated
@@ -308,8 +366,7 @@ class TestAutoLayoutStep:
         from svbrdf_tpu.models import SingleViewModel
         from svbrdf_tpu.parallel import make_mesh
         from svbrdf_tpu.parallel import mesh as mesh_lib
-        from svbrdf_tpu.parallel.step import (AutoLayoutStep, PrepConfig,
-                                              make_train_step)
+        from svbrdf_tpu.parallel.step import PrepConfig, make_train_step
 
         mesh = make_mesh(n_devices=2)
         model = SingleViewModel(num_filters=4, depth=4)
@@ -328,7 +385,7 @@ class TestAutoLayoutStep:
         for auto in (False, True):
             step = make_train_step(model, optimizer, loss_fn, prep, mesh,
                                    donate=False, auto_layout=auto)
-            assert isinstance(step, AutoLayoutStep) == auto
+            assert step._auto_layout == auto
             params = model.init(jax.random.fold_in(key, 1),
                                 jnp.zeros((1, 1, 16, 16, 3)))["params"]
             opt_state = optimizer.init(params)
