@@ -89,6 +89,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "same configuration bench.py measures.")
     p.add_argument("--num-devices", dest="num_devices", type=int, default=0,
                    help="Devices in the data mesh (0 = all).")
+    p.add_argument("--device-data-cache", dest="device_data_cache",
+                   action="store_true", default=False,
+                   help="Decode the whole dataset once and keep it in "
+                        "device HBM as uint8; every training batch is an "
+                        "on-device gather (no per-step host transfer). "
+                        "For corpora that fit device memory, e.g. the "
+                        "~1 GB multi-view set. Requires scale-mode=crop; "
+                        "single-process runs only.")
     p.add_argument("--model-depth", dest="model_depth", type=int, default=8,
                    help="U-Net depth (8 = reference architecture; inputs "
                         "must be at least 2^depth pixels).")

@@ -1,0 +1,115 @@
+"""HBM-resident dataset cache: decode once, train at device speed.
+
+TPU-native replacement for per-step host->device input transfer when the
+corpus fits device memory — the reference's multi-view corpus is ~1 GB
+(reference README.md:42, docs/index.html:346) against 16 GB of v5e HBM, so
+the ENTIRE decoded dataset can live on device as uint8 and every batch is
+an on-device gather instead of a PCIe/host round-trip. The host's role
+shrinks to drawing index orders (shuffle, mixing partners); all math stays
+in the jitted step (data/pipeline.prepare_batch already decodes uint8 on
+device).
+
+This composes with, not replaces, the host pipeline: samples are decoded
+through the same SvbrdfDataset uint8 fast path (native libpng pool + RAM
+cache) exactly once at cache-build time, then epochs never touch the host
+again. scripts/input_throughput.py measures the host path's own
+steady-state rate separately.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_CHUNK = 32  # samples per upload chunk (bounds host+device staging memory)
+
+
+class DeviceDataCache:
+    """Upload a dataset's decoded uint8 samples to HBM once; serve batches
+    as on-device gathers.
+
+    Requires the dataset's uint8 fast path (scale_mode='crop', SVBRDF maps
+    present) and deterministic per-sample content (random_crop would be
+    frozen at cache-build time, so it is rejected). Mixing partners are
+    still drawn per step by the host RNG — only the *indices* cross the
+    host boundary.
+    """
+
+    def __init__(self, dataset, mesh=None, max_bytes: int = 12 << 30):
+        if not dataset._transfer_u8:
+            raise ValueError(
+                "DeviceDataCache needs the uint8 fast path "
+                "(scale_mode='crop' with SVBRDF maps present)")
+        if dataset.random_crop:
+            raise ValueError(
+                "DeviceDataCache would freeze random crops at build time; "
+                "use the host pipeline for random_crop datasets")
+        self._dataset = dataset
+        n = len(dataset)
+        x0, s0 = dataset.load_scaled_u8(0)
+        shapes = {"inputs": (n,) + x0.shape, "svbrdf": (n,) + s0.shape}
+        self.nbytes = sum(int(np.prod(s)) for s in shapes.values())
+        if self.nbytes > max_bytes:
+            raise ValueError(
+                f"dataset needs {self.nbytes / 1e9:.1f} GB on device, over "
+                f"the {max_bytes / 1e9:.1f} GB budget — stream from host "
+                f"instead")
+
+        repl = None
+        batch_sh = None
+        if mesh is not None:
+            from svbrdf_tpu.parallel import mesh as mesh_lib
+
+            # Replicate the store: every device can gather any sample, so
+            # arbitrary per-device batch slices work.
+            repl = mesh_lib.replicated_sharding(mesh)
+            batch_sh = mesh_lib.batch_sharding(mesh)
+
+        def put(a):
+            return jnp.asarray(a) if repl is None else jax.device_put(a,
+                                                                      repl)
+
+        insert = jax.jit(
+            lambda st, ch, lo: jax.tree.map(
+                lambda s, c: jax.lax.dynamic_update_slice(
+                    s, c, (lo,) + (0,) * (s.ndim - 1)), st, ch),
+            donate_argnums=0,
+            **({} if repl is None else {"out_shardings": repl}))
+
+        store = {k: put(np.zeros(s, np.uint8))
+                 for k, s in shapes.items()}
+        for lo in range(0, n, _CHUNK):
+            hi = min(n, lo + _CHUNK)
+            dataset.prefetch(range(lo, hi))
+            xs, ss = zip(*(dataset.load_scaled_u8(i)
+                           for i in range(lo, hi)))
+            chunk = {"inputs": put(np.stack(xs)), "svbrdf": put(np.stack(ss))}
+            # The tail chunk compiles its own insert (different shape).
+            store = insert(store, chunk, lo)
+        self._store = store
+        self._gather = jax.jit(
+            lambda st, idx: jax.tree.map(
+                lambda a: jnp.take(a, idx, axis=0), st),
+            **({} if batch_sh is None else {"out_shardings": batch_sh}))
+
+    def __len__(self) -> int:
+        return len(self._dataset)
+
+    def raw_batch(self, indices) -> Dict[str, jnp.ndarray]:
+        """On-device uint8 batch (+ mixing partners when the dataset mixes),
+        shaped exactly like SvbrdfDataset.raw_batch's host arrays."""
+        idx = jnp.asarray(np.asarray(indices, np.int32))
+        batch = dict(self._gather(self._store, idx))
+        if self._dataset.mix_materials:
+            # Same host-RNG consumption pattern as SvbrdfDataset.raw_batch
+            # (one draw per sample), so cached and host pipelines produce
+            # identical partner sequences for the same seed.
+            partners = np.asarray(
+                [self._dataset._host_rng.integers(0, len(self))
+                 for _ in range(len(indices))], np.int32)
+            batch["partner_svbrdf"] = self._gather(
+                self._store, jnp.asarray(partners))["svbrdf"]
+        return batch

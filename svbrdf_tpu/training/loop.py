@@ -206,6 +206,16 @@ def run_training(args) -> float:
      root_key) = setup(args, mesh)
 
     data = _build_dataset(args, "train")
+    device_cache = None
+    if getattr(args, "device_data_cache", False):
+        if pc > 1:
+            raise ValueError("--device-data-cache is single-process only "
+                             "(each host would need the full corpus)")
+        from svbrdf_tpu.data.device_cache import DeviceDataCache
+
+        device_cache = DeviceDataCache(data, mesh)
+        print(f"Device data cache: {len(device_cache)} samples, "
+              f"{device_cache.nbytes / 1e9:.2f} GB in HBM")
     # Multi-host: each process splits/shuffles ITS file shard; the local
     # per-step slice is global_batch / process_count samples, assembled
     # into the global sharded batch by mesh_lib.shard_batch.
@@ -279,11 +289,14 @@ def run_training(args) -> float:
                 # Pad the final batch to a full, evenly-shardable batch
                 # (static shapes; wraps around).
                 idx = np.resize(idx, step_size)
-            # Decode the NEXT batch on background threads while the device
-            # runs this step.
-            data.prefetch(
-                order[(i + 1) * step_size:(i + 2) * step_size])
-            raw = data.raw_batch(idx)
+            if device_cache is not None:
+                raw = device_cache.raw_batch(idx)
+            else:
+                # Decode the NEXT batch on background threads while the
+                # device runs this step.
+                data.prefetch(
+                    order[(i + 1) * step_size:(i + 2) * step_size])
+                raw = data.raw_batch(idx)
             if pc > 1:
                 raw = mesh_lib.shard_batch(raw, mesh)
                 if compiled_step is None:

@@ -1,0 +1,86 @@
+"""DeviceDataCache: HBM-resident batches equal the host pipeline's."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svbrdf_tpu.data.dataset import SvbrdfDataset
+from svbrdf_tpu.data.device_cache import DeviceDataCache
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    from svbrdf_tpu.data import toy
+
+    d = tmp_path_factory.mktemp("dc") / "data"
+    toy.generate_toy_dataset(str(d), n_train=5, n_test=0, size=32,
+                             n_inputs=2, seed=9)
+    return d / "train"
+
+
+def _dataset(corpus, **kw):
+    kw.setdefault("input_image_count", 2)
+    kw.setdefault("used_input_image_count", 1)
+    return SvbrdfDataset(data_directory=str(corpus), image_size=32,
+                         seed=11, **kw)
+
+
+def test_batches_match_host_pipeline(corpus):
+    host = _dataset(corpus)
+    cached = DeviceDataCache(_dataset(corpus))
+    idx = [3, 0, 4]
+    a = host.raw_batch(idx)
+    b = cached.raw_batch(idx)
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+        assert np.asarray(b[k]).dtype == np.uint8
+
+
+def test_mixing_partners_match_host_rng(corpus):
+    host = _dataset(corpus, mix_materials=True, input_image_count=0,
+                    used_input_image_count=1)
+    cached = DeviceDataCache(
+        _dataset(corpus, mix_materials=True, input_image_count=0,
+                 used_input_image_count=1))
+    idx = [1, 2]
+    a = host.raw_batch(idx)
+    b = cached.raw_batch(idx)
+    np.testing.assert_array_equal(np.asarray(a["partner_svbrdf"]),
+                                  np.asarray(b["partner_svbrdf"]))
+
+
+def test_rejects_random_crop_and_float_path(corpus):
+    with pytest.raises(ValueError, match="random crops"):
+        DeviceDataCache(_dataset(corpus, random_crop=True))
+    with pytest.raises(ValueError, match="uint8"):
+        DeviceDataCache(_dataset(corpus, scale_mode="resize"))
+
+
+def test_rejects_oversized_dataset(corpus):
+    with pytest.raises(ValueError, match="GB on device"):
+        DeviceDataCache(_dataset(corpus), max_bytes=1024)
+
+
+def test_cli_training_with_device_cache(tmp_path, corpus):
+    """End-to-end: --device-data-cache through run_training (the 20k-step
+    corpus protocol's configuration, at toy scale)."""
+    from svbrdf_tpu.cli import parse_args
+    from svbrdf_tpu.training import loop
+
+    args = parse_args([
+        "--mode", "train", "--input-dir", str(corpus),
+        "--image-count", "2", "--used-image-count", "1",
+        "--image-size", "32", "--model-depth", "5", "--num-filters", "8",
+        "--batch-size", "2", "--epochs", "1", "--save-frequency", "1",
+        "--validation-frequency", "999",
+        "--model-dir", str(tmp_path / "m"), "--retrain",
+        "--device-data-cache",
+    ])
+    loss = loop.run_training(args)
+    assert np.isfinite(loss)
+
+
+test_cli_training_with_device_cache = pytest.mark.slow(
+    test_cli_training_with_device_cache)
