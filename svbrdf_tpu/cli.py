@@ -102,6 +102,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "must be at least 2^depth pixels).")
     p.add_argument("--num-filters", dest="num_filters", type=int, default=64,
                    help="Base filter count ('ngf'); 64 = reference.")
+    p.add_argument("--log-every", dest="log_every", type=int, default=1,
+                   help="Fetch and log the training loss every N steps "
+                        "(1 = reference parity). Each fetch is a blocking "
+                        "host sync; raise N on high-latency hosts. The "
+                        "NaN guard checks the fetched losses.")
     p.add_argument("--seed", dest="seed", type=int, default=313,
                    help="Base PRNG seed (reference utils.py:7 uses 313).")
     p.add_argument("--profile-dir", dest="profile_dir", default=None,

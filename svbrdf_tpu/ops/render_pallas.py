@@ -323,9 +323,9 @@ def _read_scene(scene_ref, s):
     return [scene_ref[0, s, k] for k in range(9)]
 
 
-def _fwd_kernel(scene_ref, pred_ref, gt_ref, out_ref, *, tile_h, tile_w,
-                height, width, n_scenes):
-    row0 = pl.program_id(1) * tile_h
+def _fwd_kernel(off_ref, scene_ref, pred_ref, gt_ref, out_ref, *, tile_h,
+                tile_w, height, width, n_scenes):
+    row0 = pl.program_id(1) * tile_h + off_ref[0, 0]
     col0 = pl.program_id(2) * tile_w
     # Inputs may be bf16 planes (the TPU hot path — halves kernel IO);
     # all shading math runs in f32.
@@ -345,9 +345,9 @@ def _fwd_kernel(scene_ref, pred_ref, gt_ref, out_ref, *, tile_h, tile_w,
     out_ref[0] = jnp.full((8, 128), total / (8.0 * 128.0), jnp.float32)
 
 
-def _bwd_kernel(scene_ref, pred_ref, gt_ref, g_ref, dpred_ref, dgt_ref, *,
-                tile_h, tile_w, height, width, n_scenes):
-    row0 = pl.program_id(1) * tile_h
+def _bwd_kernel(off_ref, scene_ref, pred_ref, gt_ref, g_ref, dpred_ref,
+                dgt_ref, *, tile_h, tile_w, height, width, n_scenes):
+    row0 = pl.program_id(1) * tile_h + off_ref[0, 0]
     col0 = pl.program_id(2) * tile_w
     pred_tile = pred_ref[0].astype(jnp.float32)
     gt_tile = gt_ref[0].astype(jnp.float32)
@@ -370,13 +370,14 @@ def _bwd_kernel(scene_ref, pred_ref, gt_ref, g_ref, dpred_ref, dgt_ref, *,
     dgt_ref[0] = (dt * g).astype(dgt_ref.dtype)
 
 
-def _bwd_kernel_pred_only(scene_ref, pred_ref, gt_ref, g_ref, dpred_ref, *,
-                          tile_h, tile_w, height, width, n_scenes):
+def _bwd_kernel_pred_only(off_ref, scene_ref, pred_ref, gt_ref, g_ref,
+                          dpred_ref, *, tile_h, tile_w, height, width,
+                          n_scenes):
     """Backward for pred only: the gt tile still enters the PRIMAL shade
     (the |.| sign depends on it) but its reverse sweep is skipped — in
     training the target is data, never a function of params (the torch
     reference likewise never computes target grads)."""
-    row0 = pl.program_id(1) * tile_h
+    row0 = pl.program_id(1) * tile_h + off_ref[0, 0]
     col0 = pl.program_id(2) * tile_w
     pred_tile = pred_ref[0].astype(jnp.float32)
     gt_tile = gt_ref[0].astype(jnp.float32)
@@ -391,8 +392,9 @@ def _bwd_kernel_pred_only(scene_ref, pred_ref, gt_ref, g_ref, dpred_ref, *,
     dpred_ref[0] = (dp * g_ref[0, 0]).astype(dpred_ref.dtype)
 
 
-def _grid_call(kernel, pred_t, gt_t, scenes9, extra_inputs, extra_specs,
-               out_shape, out_specs, tile_h, tile_w, interpret):
+def _grid_call(kernel, pred_t, gt_t, scenes9, row_off, global_height,
+               extra_inputs, extra_specs, out_shape, out_specs, tile_h,
+               tile_w, interpret):
     batch, _, height, width = pred_t.shape
     n_h = height // tile_h
     n_w = width // tile_w
@@ -404,51 +406,67 @@ def _grid_call(kernel, pred_t, gt_t, scenes9, extra_inputs, extra_specs,
     scene_spec = pl.BlockSpec((1,) + scenes9.shape[1:],
                               lambda b, h, w: (b, 0, 0),
                               memory_space=pltpu.SMEM)
+    # Spatial SPMD: a sharded caller (shard_map over the H axis) passes its
+    # shard's global row offset + the GLOBAL height so every shard shades
+    # its true patch coordinates.
+    off_spec = pl.BlockSpec((1, 1), lambda b, h, w: (0, 0),
+                            memory_space=pltpu.SMEM)
     return pl.pallas_call(
         functools.partial(kernel, tile_h=tile_h, tile_w=tile_w,
-                          height=height, width=width,
+                          height=global_height or height, width=width,
                           n_scenes=scenes9.shape[1]),
         grid=(batch, n_h, n_w),
-        in_specs=[scene_spec, svbrdf_spec, svbrdf_spec] + extra_specs,
+        in_specs=[off_spec, scene_spec, svbrdf_spec, svbrdf_spec]
+        + extra_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(scenes9, pred_t, gt_t, *extra_inputs)
+    )(row_off, scenes9, pred_t, gt_t, *extra_inputs)
 
 
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _fused_loss_planes(pred_t, gt_t, scenes9, tile_h, tile_w, want_dgt):
-    return _fused_fwd_value(pred_t, gt_t, scenes9, tile_h, tile_w)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _fused_loss_planes(pred_t, gt_t, scenes9, row_off, tile_h, tile_w,
+                       want_dgt, global_height):
+    return _fused_fwd_value(pred_t, gt_t, scenes9, row_off, tile_h, tile_w,
+                            global_height)
 
 
-def _fused_fwd_value(pred_t, gt_t, scenes9, tile_h, tile_w):
+def _count(batch, n_scenes, height, width, global_height):
+    """Loss normalizer = GLOBAL pixel count: a sharded caller's local sum
+    over global_count psums to the exact global mean."""
+    return batch * n_scenes * (global_height or height) * width * 3
+
+
+def _fused_fwd_value(pred_t, gt_t, scenes9, row_off, tile_h, tile_w,
+                     global_height):
     batch, _, height, width = pred_t.shape
     n_h = height // tile_h
     n_w = width // tile_w
     partials = _grid_call(
-        _fwd_kernel, pred_t, gt_t, scenes9, [], [],
+        _fwd_kernel, pred_t, gt_t, scenes9, row_off, global_height, [], [],
         jax.ShapeDtypeStruct((batch * n_h * n_w, 8, 128), jnp.float32),
         pl.BlockSpec((1, 8, 128),
                      lambda b, h, w: ((b * n_h + h) * n_w + w, 0, 0),
                      memory_space=pltpu.VMEM),
         tile_h, tile_w, _use_interpret())
-    count = batch * scenes9.shape[1] * height * width * 3
+    count = _count(batch, scenes9.shape[1], height, width, global_height)
     return jnp.sum(partials) / count
 
 
-def _fused_fwd(pred_t, gt_t, scenes9, tile_h, tile_w, want_dgt):
-    return _fused_fwd_value(pred_t, gt_t, scenes9, tile_h, tile_w), (
-        pred_t, gt_t, scenes9)
+def _fused_fwd(pred_t, gt_t, scenes9, row_off, tile_h, tile_w, want_dgt,
+               global_height):
+    return _fused_fwd_value(pred_t, gt_t, scenes9, row_off, tile_h, tile_w,
+                            global_height), (pred_t, gt_t, scenes9, row_off)
 
 
-def _fused_bwd(tile_h, tile_w, want_dgt, residuals, g):
-    pred_t, gt_t, scenes9 = residuals
+def _fused_bwd(tile_h, tile_w, want_dgt, global_height, residuals, g):
+    pred_t, gt_t, scenes9, row_off = residuals
     batch, _, height, width = pred_t.shape
-    count = batch * scenes9.shape[1] * height * width * 3
+    count = _count(batch, scenes9.shape[1], height, width, global_height)
     g_scaled = jnp.asarray(g / count, jnp.float32).reshape(1, 1)
 
     g_spec = pl.BlockSpec((1, 1), lambda b, h, w: (0, 0),
@@ -458,21 +476,23 @@ def _fused_bwd(tile_h, tile_w, want_dgt, residuals, g):
                               memory_space=pltpu.VMEM)
     if want_dgt:
         dpred, dgt = _grid_call(
-            _bwd_kernel, pred_t, gt_t, scenes9, [g_scaled], [g_spec],
+            _bwd_kernel, pred_t, gt_t, scenes9, row_off, global_height,
+            [g_scaled], [g_spec],
             (jax.ShapeDtypeStruct(pred_t.shape, pred_t.dtype),
              jax.ShapeDtypeStruct(gt_t.shape, gt_t.dtype)),
             (svbrdf_out, svbrdf_out),
             tile_h, tile_w, _use_interpret())
-        return dpred, dgt, None
+        return dpred, dgt, None, None
     dpred = _grid_call(
-        _bwd_kernel_pred_only, pred_t, gt_t, scenes9, [g_scaled], [g_spec],
+        _bwd_kernel_pred_only, pred_t, gt_t, scenes9, row_off,
+        global_height, [g_scaled], [g_spec],
         jax.ShapeDtypeStruct(pred_t.shape, pred_t.dtype),
         svbrdf_out,
         tile_h, tile_w, _use_interpret())
     # The gt cotangent is structurally required but sliced off upstream:
     # rendering_loss_fused stop-gradients the target in this mode, so AD
     # discards this value — it can never leak as a (wrong) zero gradient.
-    return dpred, jnp.zeros_like(gt_t), None
+    return dpred, jnp.zeros_like(gt_t), None, None
 
 
 _fused_loss_planes.defvjp(_fused_fwd, _fused_bwd)
@@ -511,8 +531,9 @@ def rendering_loss_fused_planes(pred_t: jnp.ndarray, gt_t: jnp.ndarray,
                                 scenes: Scene,
                                 tile_h: int = DEFAULT_TILE_H,
                                 tile_w: int = 0,
-                                want_target_grad: bool = False
-                                ) -> jnp.ndarray:
+                                want_target_grad: bool = False,
+                                row_offset=None,
+                                global_height: int = 0) -> jnp.ndarray:
     """Planes-layout entry: pred_t/gt_t are (B, 12, H, W) channel planes —
     the kernel's native layout, f32 or bf16 (bf16 halves the kernel's HBM
     IO and the upstream transpose traffic; all in-kernel math is f32).
@@ -530,8 +551,16 @@ def rendering_loss_fused_planes(pred_t: jnp.ndarray, gt_t: jnp.ndarray,
         # silently drop rows/cols from the loss and their gradients.
         raise ValueError(
             f"tile ({th}, {tw}) must divide the image ({height}, {width})")
-    return _fused_loss_planes(pred_t, gt_t, scenes9, th, tw,
-                              want_target_grad)
+    if row_offset is None:
+        row_offset = jnp.zeros((1, 1), jnp.int32)
+    else:
+        # Spatial SPMD (shard_map over H): this call sees its H-shard with
+        # the given global row offset; global_height fixes the coordinate
+        # grid and the mean's normalizer, so psum(local values) == the
+        # replicated loss. See parallel/spatial.py.
+        row_offset = jnp.asarray(row_offset, jnp.int32).reshape(1, 1)
+    return _fused_loss_planes(pred_t, gt_t, scenes9, row_offset, th, tw,
+                              want_target_grad, int(global_height))
 
 
 def phase_to_planes(phase: jnp.ndarray) -> jnp.ndarray:

@@ -129,6 +129,9 @@ def setup(args, mesh=None):
     return args, model, params, optimizer, opt_state, epoch_start, root_key
 
 
+from contextlib import nullcontext as _nullcontext
+
+
 class _NullWriter:
     """No-op SummaryWriter for non-main hosts (one writer per run)."""
 
@@ -269,6 +272,7 @@ def run_training(args) -> float:
     from svbrdf_tpu.utils.profiling import StepTimer
 
     timer = StepTimer(warmup=1)
+    log_every = max(1, getattr(args, "log_every", 1))
     profile_dir = getattr(args, "profile_dir", None)
     profiling = False
     compiled_step = None
@@ -315,15 +319,22 @@ def run_training(args) -> float:
                 jax.profiler.start_trace(profile_dir)
                 profiling = True
 
-            with timer.measure():
+            fetch = (i % log_every == 0 or i == batch_count - 1)
+            with timer.measure() if fetch else _nullcontext():
                 params, opt_state, loss = train_step(params, opt_state, raw,
                                                      key)
-                loss = float(loss)
+                if fetch:
+                    # Each float() is a blocking host sync (~30 ms through
+                    # a tunneled chip); --log-every thins it out.
+                    loss = float(loss)
 
             if profiling and batch_index >= 4:
                 jax.profiler.stop_trace()
                 profiling = False
                 profile_dir = None
+
+            if not fetch:
+                continue
 
             if not math.isfinite(loss):
                 # NaN guard: the reference documents rendering-loss NaN

@@ -7,6 +7,8 @@ replicated result."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
+import pytest
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from svbrdf_tpu import losses
@@ -76,6 +78,107 @@ def test_model_inference_height_sharded():
     sharded = np.asarray(sharded_fn(jax.device_put(params, repl),
                                     jax.device_put(images, in_spatial)))
     np.testing.assert_allclose(sharded, baseline, atol=2e-6)
+
+
+class TestSpatialModule:
+    """parallel/spatial.py: first-class spatial-SPMD entry points with the
+    upconv='fold' guard and the shard_mapped fused loss."""
+
+    def test_fold_guard_rejects_dilated_model(self):
+        from svbrdf_tpu.models import SingleViewModel
+        from svbrdf_tpu.parallel import spatial
+
+        mesh = spatial.make_spatial_mesh(n_devices=2)
+        model = SingleViewModel(num_filters=4, depth=4)  # default dilated
+        with pytest.raises(ValueError, match="upconv='fold'"):
+            spatial.make_spatial_predict_fn(model, mesh)
+        with pytest.raises(ValueError, match="upconv='fold'"):
+            spatial.make_spatial_train_step(model, optax.adam(1e-4), mesh)
+
+    def test_sharded_fused_loss_matches_replicated(self):
+        from svbrdf_tpu.parallel import spatial
+
+        mesh = spatial.make_spatial_mesh(n_devices=8)
+        assert mesh.devices.size == 8
+        rng = np.random.default_rng(3)
+        pred = jnp.asarray(random_svbrdf(rng, 64, 64, batch=(2,)))
+        target = jnp.asarray(random_svbrdf(rng, 64, 64, batch=(2,)))
+        key = jax.random.key(4)
+
+        base = losses.rendering_loss_fused(pred, target, key,
+                                           n_random=2, n_specular=2)
+        with mesh:
+            sharded = jax.jit(lambda p, t: spatial.spatial_rendering_loss(
+                p, t, key, mesh, n_random=2, n_specular=2))(pred, target)
+        # Reassociation-level: 8 psum'd partial sums vs one device's
+        # reduction order.
+        np.testing.assert_allclose(float(sharded), float(base), rtol=5e-5)
+
+        g_base = jax.grad(lambda p: losses.rendering_loss_fused(
+            p, target, key, n_random=2, n_specular=2))(pred)
+        with mesh:
+            g_sh = jax.jit(jax.grad(
+                lambda p: spatial.spatial_rendering_loss(
+                    p, target, key, mesh, n_random=2, n_specular=2)))(pred)
+        np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_base),
+                                   atol=2e-5)
+
+    def test_spatial_train_step_matches_replicated(self):
+        """The FULL H-sharded train step (fold upconv + shard_mapped fused
+        loss + Adam) produces the same params as an identically-seeded
+        replicated step (VERDICT r2 #6)."""
+        from svbrdf_tpu.models import SingleViewModel
+        from svbrdf_tpu.parallel import spatial
+
+        mesh = spatial.make_spatial_mesh(n_devices=4)
+        assert mesh.devices.size == 4
+        model = SingleViewModel(num_filters=4, depth=4, upconv="fold")
+        optimizer = optax.adam(1e-4)
+
+        rng = np.random.default_rng(5)
+        batch = {
+            "inputs": jnp.asarray(rng.uniform(
+                0, 1, (2, 1, 32, 32, 3)).astype(np.float32)),
+            "svbrdf": jnp.asarray(random_svbrdf(rng, 32, 32, batch=(2,))),
+        }
+        key = jax.random.key(6)
+        params = model.init(jax.random.key(0),
+                            jnp.zeros((1, 1, 32, 32, 3)))["params"]
+        opt_state = optimizer.init(params)
+
+        # Replicated reference: the same math without the mesh.
+        def ref_step(p, s, b, k):
+            k_drop, k_loss = jax.random.split(k)
+
+            def loss_of(pp):
+                pred = model.apply({"params": pp}, b["inputs"],
+                                   deterministic=False,
+                                   rngs={"dropout": k_drop})
+                return (0.1 * losses.svbrdf_l1_loss(pred, b["svbrdf"])
+                        + losses.rendering_loss_fused(
+                            pred, b["svbrdf"], k_loss,
+                            n_random=2, n_specular=2))
+
+            loss, grads = jax.value_and_grad(loss_of)(p)
+            updates, s = optimizer.update(grads, s, p)
+            return optax.apply_updates(p, updates), s, loss
+
+        with jax.default_matmul_precision("highest"):
+            p_ref, _s, loss_ref = jax.jit(ref_step)(params, opt_state,
+                                                    batch, key)
+
+            step = spatial.make_spatial_train_step(
+                model, optimizer, mesh, n_random=2, n_specular=2)
+            p_sh, _s2, loss_sh = step(
+                jax.device_put(params,
+                               jax.sharding.NamedSharding(mesh, P())),
+                optimizer.init(params), batch, key)
+
+        np.testing.assert_allclose(float(loss_sh), float(loss_ref),
+                                   rtol=5e-5)
+        for a, b in zip(jax.tree.leaves(p_sh), jax.tree.leaves(p_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)
 
 
 def test_height_sharded_gradients_match():
