@@ -5,12 +5,14 @@ The rendering loss shades pred & gt SVBRDFs under S scenes per batch item
 path materializes (B, S, H, W, 3) radiance tensors in HBM twice; this kernel
 never materializes them: each grid program loads one (12, TH, W) SVBRDF
 tile pair into VMEM, shades all S scenes in registers/VMEM, and emits only
-the per-tile sum of |log(r_p + eps) - log(r_t + eps)|. The backward pass
-recomputes shading per tile (rematerialization) and produces SVBRDF-tile
-gradients via a HAND-DERIVED VJP (_scene_loss_grads) that reuses the
-primal's shared factors — ~2x the forward's work vs ~3x for the in-kernel
-autodiff it replaced, pinned against the jnp composition's autodiff by
-tests. HBM traffic stays O(svbrdf), not O(renders).
+the per-tile sum of |log(r_p + eps) - log(r_t + eps)|. Under autodiff, a
+single fused value+gradient kernel (_fwdgrad_kernel) shades each side ONCE
+per scene and emits the loss partials AND the hand-derived SVBRDF-plane
+gradients (pre-scaled by 1/count); the custom-VJP backward is then just a
+scalar scale that XLA fuses into the consumer — no re-shading backward
+pass at all. Outside autodiff (eval), the value-only kernel runs. The hand
+VJP (_side_bwd) is pinned against the jnp composition's autodiff by tests.
+HBM traffic stays O(svbrdf), not O(renders).
 
 Layout: SVBRDFs are transposed to channel-planes (B, 12, H, W) so each
 (TH, W) plane puts image width on the TPU lane dimension (W=256 -> two
@@ -271,24 +273,34 @@ def _side_bwd(planes, geom, color, shared, chans, u):
     return jnp.stack([dnx, dny, dnz] + dalbedo + drough + dspec)
 
 
-def _scene_loss_grads(pred_tile, gt_tile, scene_vec, x, y, want_dgt):
-    """Hand-derived per-scene gradients of _scene_loss_sum wrt pred (and
-    optionally gt) planes. Returns (dpred, dgt-or-None)."""
+def _scene_loss_and_grads(pred_tile, gt_tile, scene_vec, x, y, want_dgt):
+    """One scene's loss sum AND hand-derived gradients in a single pass.
+
+    Shades both sides once and derives the |log-diff| sum plus the pred
+    (and optionally gt) plane gradients from the same intermediates — the
+    training path runs this instead of a value kernel followed by a
+    re-shading backward kernel (the primal re-shade was ~45% of the pair's
+    work). Returns (loss_sum, dpred, dgt-or-None)."""
     cam = scene_vec[0:3]
     light = scene_vec[3:6]
     color = scene_vec[6:9]
     geom = _scene_geometry(cam, light, x, y)
     rp, shr_p, ch_p = _shade_side(pred_tile, geom, color)
     rt, shr_t, ch_t = _shade_side(gt_tile, geom, color)
-    # sign(log(rp+eps) - log(rt+eps)) == sign(rp - rt): log is monotone.
-    sign = [jnp.sign(rp[c] - rt[c]) for c in range(3)]
+    loss = jnp.zeros((), jnp.float32)
+    sign = []
+    for c in range(3):
+        diff = (jnp.log(rp[c] + EPSILON_RENDER)
+                - jnp.log(rt[c] + EPSILON_RENDER))
+        loss = loss + jnp.sum(jnp.abs(diff))
+        sign.append(jnp.sign(diff))
     u_pred = [sign[c] / (rp[c] + EPSILON_RENDER) for c in range(3)]
     dpred = _side_bwd(pred_tile, geom, color, shr_p, ch_p, u_pred)
     if not want_dgt:
-        return dpred, None
+        return loss, dpred, None
     u_gt = [-sign[c] / (rt[c] + EPSILON_RENDER) for c in range(3)]
     dgt = _side_bwd(gt_tile, geom, color, shr_t, ch_t, u_gt)
-    return dpred, dgt
+    return loss, dpred, dgt
 
 
 def _patch_xy(tile_shape, row0, col0, height, width):
@@ -345,38 +357,40 @@ def _fwd_kernel(off_ref, scene_ref, pred_ref, gt_ref, out_ref, *, tile_h,
     out_ref[0] = jnp.full((8, 128), total / (8.0 * 128.0), jnp.float32)
 
 
-def _bwd_kernel(off_ref, scene_ref, pred_ref, gt_ref, g_ref, dpred_ref,
-                dgt_ref, *, tile_h, tile_w, height, width, n_scenes):
+def _fwdgrad_kernel(off_ref, scene_ref, pred_ref, gt_ref, loss_ref,
+                    dpred_ref, *, tile_h, tile_w, height, width, n_scenes,
+                    inv_count):
+    """Fused value + pred-gradient kernel (the training hot path).
+
+    Under autodiff, custom_vjp's f_fwd runs this ONE kernel instead of the
+    value kernel + a re-shading backward kernel: the per-scene loop
+    accumulates the loss sum and dpred from a single shade of each side.
+    dpred is written pre-scaled by 1/count; f_bwd just multiplies by the
+    scalar upstream cotangent (which XLA fuses into the consumer)."""
     row0 = pl.program_id(1) * tile_h + off_ref[0, 0]
     col0 = pl.program_id(2) * tile_w
     pred_tile = pred_ref[0].astype(jnp.float32)
     gt_tile = gt_ref[0].astype(jnp.float32)
     x, y = _patch_xy(pred_tile.shape[1:], row0, col0, height, width)
 
-    # The loss is a SUM over scenes, so its gradient is the sum of
-    # per-scene gradients — accumulate them in a fori_loop (no reverse
-    # differentiation through the loop needed).
     def body(s, acc):
-        dp_acc, dt_acc = acc
-        dp, dt = _scene_loss_grads(pred_tile, gt_tile,
-                                   _read_scene(scene_ref, s), x, y, True)
-        return dp_acc + dp, dt_acc + dt
+        total, dp_acc = acc
+        loss, dp, _ = _scene_loss_and_grads(
+            pred_tile, gt_tile, _read_scene(scene_ref, s), x, y, False)
+        return total + loss, dp_acc + dp
 
-    dp, dt = jax.lax.fori_loop(
+    total, dp = jax.lax.fori_loop(
         0, n_scenes, body,
-        (jnp.zeros_like(pred_tile), jnp.zeros_like(gt_tile)))
-    g = g_ref[0, 0]
-    dpred_ref[0] = (dp * g).astype(dpred_ref.dtype)
-    dgt_ref[0] = (dt * g).astype(dgt_ref.dtype)
+        (jnp.zeros((), jnp.float32), jnp.zeros_like(pred_tile)))
+    loss_ref[0] = jnp.full((8, 128), total / (8.0 * 128.0), jnp.float32)
+    dpred_ref[0] = (dp * inv_count).astype(dpred_ref.dtype)
 
 
-def _bwd_kernel_pred_only(off_ref, scene_ref, pred_ref, gt_ref, g_ref,
-                          dpred_ref, *, tile_h, tile_w, height, width,
-                          n_scenes):
-    """Backward for pred only: the gt tile still enters the PRIMAL shade
-    (the |.| sign depends on it) but its reverse sweep is skipped — in
-    training the target is data, never a function of params (the torch
-    reference likewise never computes target grads)."""
+def _fwdgrad_kernel_both(off_ref, scene_ref, pred_ref, gt_ref, loss_ref,
+                         dpred_ref, dgt_ref, *, tile_h, tile_w, height,
+                         width, n_scenes, inv_count):
+    """_fwdgrad_kernel variant that also emits the gt-plane gradients
+    (want_target_grad=True callers, e.g. map-recovery on the target slot)."""
     row0 = pl.program_id(1) * tile_h + off_ref[0, 0]
     col0 = pl.program_id(2) * tile_w
     pred_tile = pred_ref[0].astype(jnp.float32)
@@ -384,12 +398,18 @@ def _bwd_kernel_pred_only(off_ref, scene_ref, pred_ref, gt_ref, g_ref,
     x, y = _patch_xy(pred_tile.shape[1:], row0, col0, height, width)
 
     def body(s, acc):
-        dp, _ = _scene_loss_grads(pred_tile, gt_tile,
-                                  _read_scene(scene_ref, s), x, y, False)
-        return acc + dp
+        total, dp_acc, dt_acc = acc
+        loss, dp, dt = _scene_loss_and_grads(
+            pred_tile, gt_tile, _read_scene(scene_ref, s), x, y, True)
+        return total + loss, dp_acc + dp, dt_acc + dt
 
-    dp = jax.lax.fori_loop(0, n_scenes, body, jnp.zeros_like(pred_tile))
-    dpred_ref[0] = (dp * g_ref[0, 0]).astype(dpred_ref.dtype)
+    total, dp, dt = jax.lax.fori_loop(
+        0, n_scenes, body,
+        (jnp.zeros((), jnp.float32), jnp.zeros_like(pred_tile),
+         jnp.zeros_like(gt_tile)))
+    loss_ref[0] = jnp.full((8, 128), total / (8.0 * 128.0), jnp.float32)
+    dpred_ref[0] = (dp * inv_count).astype(dpred_ref.dtype)
+    dgt_ref[0] = (dt * inv_count).astype(dgt_ref.dtype)
 
 
 def _grid_call(kernel, pred_t, gt_t, scenes9, row_off, global_height,
@@ -459,40 +479,58 @@ def _fused_fwd_value(pred_t, gt_t, scenes9, row_off, tile_h, tile_w,
 
 def _fused_fwd(pred_t, gt_t, scenes9, row_off, tile_h, tile_w, want_dgt,
                global_height):
-    return _fused_fwd_value(pred_t, gt_t, scenes9, row_off, tile_h, tile_w,
-                            global_height), (pred_t, gt_t, scenes9, row_off)
+    """custom_vjp forward: ONE fused value+gradient kernel.
 
-
-def _fused_bwd(tile_h, tile_w, want_dgt, global_height, residuals, g):
-    pred_t, gt_t, scenes9, row_off = residuals
+    Outside autodiff, custom_vjp calls the primal (_fused_fwd_value's
+    value-only kernel); under autodiff this runs instead, so training pays
+    a single shade per (tile, scene, side) — the gradients come out with
+    the value and the backward is a scalar scale."""
     batch, _, height, width = pred_t.shape
+    n_h = height // tile_h
+    n_w = width // tile_w
     count = _count(batch, scenes9.shape[1], height, width, global_height)
-    g_scaled = jnp.asarray(g / count, jnp.float32).reshape(1, 1)
-
-    g_spec = pl.BlockSpec((1, 1), lambda b, h, w: (0, 0),
-                          memory_space=pltpu.SMEM)
+    loss_shape = jax.ShapeDtypeStruct((batch * n_h * n_w, 8, 128),
+                                      jnp.float32)
+    loss_spec = pl.BlockSpec((1, 8, 128),
+                             lambda b, h, w: ((b * n_h + h) * n_w + w, 0, 0),
+                             memory_space=pltpu.VMEM)
     svbrdf_out = pl.BlockSpec((1, 12, tile_h, tile_w),
                               lambda b, h, w: (b, 0, h, w),
                               memory_space=pltpu.VMEM)
     if want_dgt:
-        dpred, dgt = _grid_call(
-            _bwd_kernel, pred_t, gt_t, scenes9, row_off, global_height,
-            [g_scaled], [g_spec],
-            (jax.ShapeDtypeStruct(pred_t.shape, pred_t.dtype),
+        kernel = functools.partial(_fwdgrad_kernel_both,
+                                   inv_count=1.0 / count)
+        partials, dpred, dgt = _grid_call(
+            kernel, pred_t, gt_t, scenes9, row_off, global_height, [], [],
+            (loss_shape,
+             jax.ShapeDtypeStruct(pred_t.shape, pred_t.dtype),
              jax.ShapeDtypeStruct(gt_t.shape, gt_t.dtype)),
-            (svbrdf_out, svbrdf_out),
+            (loss_spec, svbrdf_out, svbrdf_out),
             tile_h, tile_w, _use_interpret())
+    else:
+        kernel = functools.partial(_fwdgrad_kernel, inv_count=1.0 / count)
+        partials, dpred = _grid_call(
+            kernel, pred_t, gt_t, scenes9, row_off, global_height, [], [],
+            (loss_shape,
+             jax.ShapeDtypeStruct(pred_t.shape, pred_t.dtype)),
+            (loss_spec, svbrdf_out),
+            tile_h, tile_w, _use_interpret())
+        dgt = None
+    loss = jnp.sum(partials) / count
+    return loss, (dpred, dgt, jnp.zeros((), gt_t.dtype))
+
+
+def _fused_bwd(tile_h, tile_w, want_dgt, global_height, residuals, g):
+    dpred_raw, dgt_raw, gt_marker = residuals
+    gf = jnp.asarray(g, jnp.float32)
+    dpred = (dpred_raw.astype(jnp.float32) * gf).astype(dpred_raw.dtype)
+    if want_dgt:
+        dgt = (dgt_raw.astype(jnp.float32) * gf).astype(dgt_raw.dtype)
         return dpred, dgt, None, None
-    dpred = _grid_call(
-        _bwd_kernel_pred_only, pred_t, gt_t, scenes9, row_off,
-        global_height, [g_scaled], [g_spec],
-        jax.ShapeDtypeStruct(pred_t.shape, pred_t.dtype),
-        svbrdf_out,
-        tile_h, tile_w, _use_interpret())
     # The gt cotangent is structurally required but sliced off upstream:
     # rendering_loss_fused stop-gradients the target in this mode, so AD
     # discards this value — it can never leak as a (wrong) zero gradient.
-    return dpred, jnp.zeros_like(gt_t), None, None
+    return dpred, jnp.zeros(dpred_raw.shape, gt_marker.dtype), None, None
 
 
 _fused_loss_planes.defvjp(_fused_fwd, _fused_bwd)
