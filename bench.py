@@ -87,12 +87,23 @@ def main():
              else SingleViewModel(use_coords=False, dtype=dtype))
     if variant == "predict":
         return bench_predict(model, model_kind, n_views, batch, size, mesh)
-    optimizer = optax.adam(1e-5)
+    from svbrdf_tpu.parallel.step import make_optimizer
+
+    optimizer = make_optimizer(1e-5, dtype)
     loss_fn = losses.make_loss_fn("mixed", variant)
     prep = PrepConfig(used_input_image_count=n_views, use_augmentation=True,
                       is_linear=False, mix_materials=True)
+    # BENCH_SCAN=K benches the trainer's device-cache multi-step program
+    # (--steps-per-call K: K optimizer steps per dispatch via lax.scan).
+    # Measured equal per-step device time to K=1 (12.7 vs 12.1 ms; the
+    # scan saves the per-program launch gap but pays loop-carry overhead)
+    # — its win is END-TO-END: it removes the per-step host dispatch cost
+    # that dominates real training on a slow host / high-latency tunnel.
+    # Default 1: the single-step program is the headline device metric
+    # and compiles ~4x faster.
+    scan_k = int(os.environ.get("BENCH_SCAN", "1"))
     step = make_train_step(model, optimizer, loss_fn, prep, mesh,
-                           donate=True)
+                           donate=True, scan_steps=scan_k)
 
     rng = np.random.default_rng(0)
     n = rng.uniform(-1, 1, (batch, size, size, 3)).astype(np.float32)
@@ -105,7 +116,13 @@ def main():
         "svbrdf": svbrdf,
         "partner_svbrdf": svbrdf[::-1].copy(),
     }
-    raw = mesh_lib.shard_batch(raw, mesh)
+    if scan_k > 1:
+        raw = jax.tree.map(
+            lambda x: jax.device_put(
+                np.broadcast_to(x, (scan_k,) + x.shape).copy(),
+                mesh_lib.stacked_batch_sharding(mesh)), raw)
+    else:
+        raw = mesh_lib.shard_batch(raw, mesh)
 
     key = jax.random.key(0)
     params = model.init(jax.random.fold_in(key, 1),
@@ -115,25 +132,29 @@ def main():
     params = jax.device_put(params, repl)
     opt_state = jax.device_put(opt_state, repl)
 
-    # Warm-up (compile), then time a 50-step chain ended by a HOST FETCH of
-    # the final loss: the fetch transitively forces every step (the remote
-    # execution layer's block_until_ready returns early, so per-step
-    # blocking under-measures by orders of magnitude).
-    for i in range(3):
-        params, opt_state, loss = step(params, opt_state, raw,
-                                       jax.random.fold_in(key, i))
-    float(loss)
+    # Warm-up (compile), then time a long step chain ended by a HOST FETCH
+    # of the final loss: the fetch transitively forces every step (the
+    # remote execution layer's block_until_ready returns early, so
+    # per-step blocking under-measures by orders of magnitude).
+    def call(i):
+        if scan_k > 1:
+            return step(params, opt_state, raw,
+                        (jax.random.fold_in(key, i), jnp.int32(i * scan_k)))
+        return step(params, opt_state, raw, jax.random.fold_in(key, i))
 
-    n_steps = 50 if variant == "local" else 20
+    for i in range(3):
+        params, opt_state, loss = call(i)
+    float(jnp.sum(loss))
+
+    n_calls = (48 // scan_k if variant == "local" else 20)
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        params, opt_state, loss = step(params, opt_state, raw,
-                                       jax.random.fold_in(key, 100 + i))
-    final_loss = float(loss)  # barrier
+    for i in range(n_calls):
+        params, opt_state, loss = call(100 + i)
+    final_loss = float(jnp.sum(loss) / scan_k)  # barrier
     elapsed = time.perf_counter() - t0
     assert np.isfinite(final_loss)
 
-    step_ms = float(elapsed / n_steps * 1e3)
+    step_ms = float(elapsed / (n_calls * scan_k) * 1e3)
     from svbrdf_tpu.utils import flops as flops_lib
 
     model_tag = "" if model_kind == "single" else f"_{model_kind}view{n_views}"

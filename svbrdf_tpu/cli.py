@@ -102,6 +102,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "must be at least 2^depth pixels).")
     p.add_argument("--num-filters", dest="num_filters", type=int, default=64,
                    help="Base filter count ('ngf'); 64 = reference.")
+    p.add_argument("--steps-per-call", dest="steps_per_call", type=int,
+                   default=0,
+                   help="Run N optimizer steps per device dispatch "
+                        "(lax.scan) — amortizes per-dispatch host latency. "
+                        "Requires --device-data-cache (batches must be "
+                        "on-device). 0 = auto: 16 when the device cache "
+                        "is on, else 1. Per-step losses and the RNG "
+                        "stream are identical to --steps-per-call 1.")
     p.add_argument("--log-every", dest="log_every", type=int, default=1,
                    help="Fetch and log the training loss every N steps "
                         "(1 = reference parity). Each fetch is a blocking "

@@ -94,6 +94,14 @@ class DeviceDataCache:
             lambda st, idx: jax.tree.map(
                 lambda a: jnp.take(a, idx, axis=0), st),
             **({} if batch_sh is None else {"out_shardings": batch_sh}))
+        stacked_sh = (None if mesh is None
+                      else mesh_lib.stacked_batch_sharding(mesh))
+        self._gather_many = jax.jit(
+            lambda st, idx2: jax.tree.map(
+                lambda a: jnp.take(
+                    a, idx2.reshape(-1), axis=0).reshape(
+                        idx2.shape + a.shape[1:]), st),
+            **({} if stacked_sh is None else {"out_shardings": stacked_sh}))
 
     def __len__(self) -> int:
         return len(self._dataset)
@@ -111,5 +119,21 @@ class DeviceDataCache:
                 [self._dataset._host_rng.integers(0, len(self))
                  for _ in range(len(indices))], np.int32)
             batch["partner_svbrdf"] = self._gather(
+                self._store, jnp.asarray(partners))["svbrdf"]
+        return batch
+
+    def raw_batch_many(self, index_matrix) -> Dict[str, jnp.ndarray]:
+        """K stacked on-device batches for the K-step scan program: leaves
+        are (K, B, ...). One flat gather serves all K batches; the mixing
+        partner stream consumes the host RNG in the same flat order as K
+        sequential raw_batch calls (parity with --steps-per-call 1)."""
+        idx = np.asarray(index_matrix, np.int32)
+        k, b = idx.shape
+        batch = dict(self._gather_many(self._store, jnp.asarray(idx)))
+        if self._dataset.mix_materials:
+            partners = np.asarray(
+                [self._dataset._host_rng.integers(0, len(self))
+                 for _ in range(k * b)], np.int32).reshape(k, b)
+            batch["partner_svbrdf"] = self._gather_many(
                 self._store, jnp.asarray(partners))["svbrdf"]
         return batch

@@ -51,6 +51,12 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """(K, B, ...) stacked batches (the K-step scan program's input):
+    replicate the step axis, shard the batch axis."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def local_batch_size(global_batch_size: int) -> int:
     """This process's share of the global batch (multi-host SPMD: each
     host feeds only its own devices)."""

@@ -21,6 +21,7 @@ import pathlib
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 META_FILE = "meta.json"
@@ -225,8 +226,14 @@ class Checkpoint:
                 return self._tree["opt_state"]
             from flax import serialization
 
-            return serialization.from_state_dict(opt_state,
-                                                 self._tree["opt_state"])
+            restored = serialization.from_state_dict(
+                opt_state, self._tree["opt_state"])
+            # Checkpoints written before (or after) an optimizer-dtype
+            # change restore cleanly: leaves are cast to the template's
+            # dtype (e.g. f32 Adam moments -> the bf16 mu the current
+            # make_optimizer uses, and vice versa).
+            return jax.tree.map(lambda t, r: jnp.asarray(r, t.dtype),
+                                opt_state, restored)
         print("Failed to restore optimizer state")
         return opt_state
 

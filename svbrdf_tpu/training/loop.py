@@ -28,6 +28,7 @@ from svbrdf_tpu import losses as losses_lib
 from svbrdf_tpu.data.dataset import SvbrdfDataset, split_train_validation
 from svbrdf_tpu.models import build_model
 from svbrdf_tpu.parallel import make_mesh, mesh as mesh_lib
+from svbrdf_tpu.parallel import step as step_lib
 from svbrdf_tpu.parallel.step import (PrepConfig, make_eval_step,
                                       make_predict_fn, make_train_step)
 from svbrdf_tpu.training.checkpoint import Checkpoint
@@ -114,7 +115,8 @@ def setup(args, mesh=None):
         raise SystemExit("No model found in the model directory but it is "
                          "required for testing.")
 
-    optimizer = optax.adam(args.learning_rate)
+    optimizer = step_lib.make_optimizer(args.learning_rate,
+                                        getattr(model, "dtype", None))
     opt_state = optimizer.init(params)
     if checkpoint.is_valid():
         opt_state = checkpoint.restore_opt_state(opt_state)
@@ -231,7 +233,29 @@ def run_training(args) -> float:
     loss_fn = losses_lib.make_loss_fn(_loss_kind(args.loss), args.renderer,
                                       fused=getattr(args, "fused_loss",
                                                     None))
-    train_step = make_train_step(model, optimizer, loss_fn, prep, mesh)
+    scan_k = int(getattr(args, "steps_per_call", 0) or 0)
+    if scan_k == 0:
+        scan_k = 16 if device_cache is not None else 1
+    elif scan_k > 1 and device_cache is None:
+        raise ValueError("--steps-per-call > 1 needs --device-data-cache "
+                         "(batches must already be on device)")
+    train_step = make_train_step(model, optimizer, loss_fn, prep, mesh,
+                                 scan_steps=scan_k)
+    # The final sub-K chunk of each epoch runs through a sibling program
+    # compiled lazily at its first use, with its state boundary pinned to
+    # the main program's layouts (no relayout between programs) and the
+    # shared carried compute tree.
+    chunk_steps = {scan_k: train_step}
+
+    def get_chunk_step(k):
+        if k not in chunk_steps:
+            chunk_steps[k] = make_train_step(
+                model, optimizer, loss_fn, prep, mesh, scan_steps=k,
+                state_formats=(train_step.state_formats
+                               if train_step._compiled is not None
+                               else None),
+                share_compute_with=train_step)
+        return chunk_steps[k]
     eval_steps = {
         batch_size_key: make_eval_step(model, loss_fn, prep, m)
         for batch_size_key, m in
@@ -285,6 +309,70 @@ def run_training(args) -> float:
             order = np.resize(order, batch_count * local_batch)
         step_size = local_batch if pc > 1 else batch_size
         data.prefetch(order[:step_size])
+        if scan_k > 1:
+            # Device-cache chunked path (single process): K optimizer
+            # steps per dispatch through the scan program; the per-step
+            # key stream and losses are identical to scan_k == 1.
+            i = 0
+            while i < batch_count:
+                k = min(scan_k, batch_count - i)
+                rows = np.empty((k, step_size), np.int64)
+                for j in range(k):
+                    rows[j] = np.resize(
+                        order[(i + j) * step_size:(i + j + 1) * step_size],
+                        step_size)
+                raw = device_cache.raw_batch_many(rows)
+                base = epoch * batch_count + i
+                step_k = get_chunk_step(k)
+
+                if profile_dir and base > 0 and not profiling:
+                    jax.profiler.start_trace(profile_dir)
+                    profiling = True
+
+                fetch = (any((i + j) % log_every == 0 for j in range(k))
+                         or i + k >= batch_count)
+                with timer.measure() if fetch else _nullcontext():
+                    params, opt_state, losses = step_k(
+                        params, opt_state, raw,
+                        (root_key, jnp.int32(base)))
+                    if fetch:
+                        losses = np.asarray(
+                            jax.device_get(losses), np.float64)
+
+                if profiling and base > 0:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    profile_dir = None
+
+                if fetch:
+                    if not np.isfinite(losses).all():
+                        save(epoch)
+                        writer.close()
+                        raise FloatingPointError(
+                            f"non-finite loss at epoch {epoch}, "
+                            f"batches {i + 1}..{i + k}")
+                    for j in range(k):
+                        writer.add_scalar("loss", float(losses[j]),
+                                          base + j)
+                        if ((i + j) % log_every == 0
+                                or i + j == batch_count - 1):
+                            print(f"Epoch {epoch}, Batch {i + j + 1}, "
+                                  f"loss: {losses[j]:f}")
+                    last_loss = float(losses[-1])
+                i += k
+            if epoch % args.save_frequency == 0:
+                save(epoch)
+            if (epoch % args.validation_frequency == 0
+                    and len(val_idx) > 0):
+                total, count = _validation_sums(eval_steps, params, data,
+                                                val_idx, batch_size,
+                                                root_key, epoch)
+                if count > 0:
+                    val_loss = total / count
+                    print(f"Epoch {epoch}, validation loss: {val_loss:f}")
+                    writer.add_scalar("val_loss", val_loss,
+                                      epoch * batch_count)
+            continue
         for i in range(batch_count):
             idx = order[i * step_size:(i + 1) * step_size]
             if len(idx) == 0:

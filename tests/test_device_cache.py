@@ -51,6 +51,24 @@ def test_mixing_partners_match_host_rng(corpus):
                                   np.asarray(b["partner_svbrdf"]))
 
 
+def test_raw_batch_many_matches_sequential(corpus):
+    """raw_batch_many (the K-step scan feed) equals K sequential
+    raw_batch calls, including the mixing-partner RNG stream."""
+    kw = dict(mix_materials=True, input_image_count=0,
+              used_input_image_count=1)
+    seq = DeviceDataCache(_dataset(corpus, **kw))
+    many = DeviceDataCache(_dataset(corpus, **kw))
+    rows = [[1, 2], [0, 4], [3, 3]]
+    singles = [seq.raw_batch(r) for r in rows]
+    stacked = many.raw_batch_many(np.asarray(rows))
+    assert set(stacked) == set(singles[0])
+    for k in stacked:
+        got = np.asarray(stacked[k])
+        assert got.shape[0] == len(rows)
+        for j, s in enumerate(singles):
+            np.testing.assert_array_equal(got[j], np.asarray(s[k]))
+
+
 def test_rejects_random_crop_and_float_path(corpus):
     with pytest.raises(ValueError, match="random crops"):
         DeviceDataCache(_dataset(corpus, random_crop=True))

@@ -259,6 +259,54 @@ class TestDeterminism:
             np.testing.assert_array_equal(a, b)
 
 
+class TestScanStep:
+    """The K-step scan program (--steps-per-call) reproduces K sequential
+    single-step calls: same key stream, same losses, same final params."""
+
+    def test_scan_matches_sequential(self):
+        import optax
+
+        from svbrdf_tpu import losses
+        from svbrdf_tpu.models import SingleViewModel
+        from svbrdf_tpu.parallel.step import PrepConfig, make_train_step
+
+        model = SingleViewModel(num_filters=4, depth=4)
+        optimizer = optax.adam(1e-4)
+        loss_fn = losses.make_loss_fn("mixed", "local", fused=False)
+        prep = PrepConfig(1, True, False, False)
+
+        rng = np.random.default_rng(5)
+        K = 3
+        svs = rng.uniform(0.1, 0.9, (K, 2, 16, 16, 12)).astype(np.float32)
+        root = jax.random.key(11)
+        params = model.init(jax.random.fold_in(root, 1),
+                            jnp.zeros((1, 1, 16, 16, 3)))["params"]
+
+        # Sequential single steps with the trainer's scan_k == 1 key
+        # stream: key_j = fold_in(root, j + 1).
+        step1 = make_train_step(model, optimizer, loss_fn, prep, mesh=None,
+                                donate=False)
+        p, o = params, optimizer.init(params)
+        seq = []
+        for j in range(K):
+            raw = {"inputs": np.zeros((2, 0, 16, 16, 3), np.float32),
+                   "svbrdf": svs[j]}
+            p, o, loss = step1(p, o, raw, jax.random.fold_in(root, j + 1))
+            seq.append(float(loss))
+
+        stepK = make_train_step(model, optimizer, loss_fn, prep, mesh=None,
+                                donate=False, scan_steps=K)
+        rawK = {"inputs": np.zeros((K, 2, 0, 16, 16, 3), np.float32),
+                "svbrdf": svs}
+        pk, ok, lossesK = stepK(params, optimizer.init(params), rawK,
+                                (root, jnp.int32(0)))
+        np.testing.assert_allclose(np.asarray(lossesK), np.asarray(seq),
+                                   rtol=2e-6, atol=2e-6)
+        for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(pk)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5)
+
+
 class TestPhaseDirectTrainStep:
     def test_fused_phase_step_matches_spatial_loss(self):
         """A full train step through the fused (Pallas, interpret on CPU)
