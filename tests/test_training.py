@@ -386,7 +386,7 @@ class TestComputeParamCarry:
         for a in jax.tree.leaves(params):
             assert a.dtype == jnp.float32
         expect = compute_cast(params, jnp.bfloat16)
-        for a, b in zip(jax.tree.leaves(step._compute),
+        for a, b in zip(jax.tree.leaves(step.compute_box[0]),
                         jax.tree.leaves(expect)):
             assert a.dtype == b.dtype
             np.testing.assert_array_equal(np.asarray(a, np.float32),
@@ -398,7 +398,7 @@ class TestComputeParamCarry:
         opt_state = optimizer.init(params)
         _, _, loss = step(params, opt_state, raw, key)
         assert np.isfinite(float(loss))
-        assert step._compute is None
+        assert step.compute_box[0] is None
 
 
 class TestAutoLayoutStep:
