@@ -170,20 +170,34 @@ def make_loss_fn(kind: str = "mixed", renderer: str = "local",
     if kind == "mixed":
         if fused:
             def fused_mixed(pred, target, key):
-                # One planes conversion feeds BOTH terms; with a
-                # phase-major pred (model output_layout='phase') the
-                # spatial 12-channel tensor never materializes.
+                # ONE fused kernel computes both terms and the combined
+                # gradient (ops/render_pallas.mixed_loss_fused_planes).
+                # The phase-planes pred (model output_layout=
+                # 'phase_planes', (B, 48, h, w)) is consumed directly —
+                # the kernel grid-indexes the phase cell, so neither the
+                # forward nor the backward materializes an interleave; the
+                # target is brought to the matching layout in one
+                # transpose. Legacy 'phase' (B, h, w, 4, 12) and spatial
+                # NHWC preds are still accepted.
                 from svbrdf_tpu.ops import render_pallas
 
                 scenes = sampling.generate_loss_scenes(
                     key, pred.shape[0], 3, 6)
-                pred_t = _to_planes(pred)
-                gt_t = _to_planes(target, pred.dtype)
-                return (l1_weight * svbrdf_l1_loss_planes(pred_t, gt_t)
-                        + render_pallas.rendering_loss_fused_planes(
-                            pred_t, gt_t, scenes))
+                # (B, 48, h, w) phase-planes vs (B, H, W, 12) NHWC: a
+                # spatial pred always has 12 as its LAST dim.
+                if (pred.ndim == 4 and pred.shape[1] == 48
+                        and pred.shape[3] != 12):
+                    pred_t = pred
+                    gt_t = render_pallas.svbrdf_to_phase_planes(
+                        target.astype(pred.dtype))
+                else:
+                    pred_t = pred if pred.ndim == 5 else _to_planes(pred)
+                    gt_t = _to_planes(target, pred.dtype)
+                return render_pallas.mixed_loss_fused_planes(
+                    pred_t, gt_t, scenes, l1_weight)
 
             fused_mixed.accepts_phase = True
+            fused_mixed.accepts_phase_planes = True
             return fused_mixed
         return partial(mixed_loss, render_fn=render_fn, l1_weight=l1_weight)
     raise ValueError(f"unknown loss kind '{kind}'")

@@ -34,6 +34,26 @@ def head_to_svbrdf(sv9: jnp.ndarray, dtype=None) -> jnp.ndarray:
     )
 
 
+def head_to_svbrdf_planes(t9: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    """head_to_svbrdf on (B, 4, 9, h, w) phase-plane stacks -> (B, 4, 12,
+    h, w). Same decode (reference models.py:322-346 head + utils.py:73-88),
+    channel axis at dim 2: running tanh+decode AFTER the layout transpose
+    keeps every elementwise op at full lane width (the image axis is on
+    lanes), instead of 36/128-wide NHWC lanes."""
+    t = jnp.tanh(t9.astype(jnp.float32))
+    nxy = t[:, :, 0:2] * 3.0
+    nz = jnp.ones_like(t[:, :, :1])
+    n = jnp.concatenate([nxy, nz], axis=2)
+    n = n / jnp.sqrt(jnp.sum(n * n, axis=2, keepdims=True))
+    unit = codecs.encode_as_unit_interval
+    diffuse = unit(t[:, :, 2:5])
+    roughness = unit(jnp.repeat(t[:, :, 5:6], 3, axis=2))
+    specular = unit(t[:, :, 6:9])
+    cast = (lambda x: x.astype(dtype)) if dtype is not None else (lambda x: x)
+    return jnp.concatenate(
+        [cast(n), cast(diffuse), cast(roughness), cast(specular)], axis=2)
+
+
 class SingleViewModel(nn.Module):
     use_coords: bool = False
     num_filters: int = 64
@@ -43,19 +63,24 @@ class SingleViewModel(nn.Module):
     # see layers.UPCONV_IMPL.
     upconv: str = ""
 
-    # The train/eval steps may request output_layout="phase" to keep the
-    # maps in the space-to-depth layout (see __call__).
+    # The train/eval steps may request output_layout="phase"/"phase_planes"
+    # to keep the maps in a space-to-depth layout (see __call__).
     supports_phase_output = True
+    supports_phase_planes_output = True
 
     @nn.compact
     def __call__(self, images, deterministic: bool = True,
                  output_layout: str = "spatial"):
         """output_layout: 'spatial' -> (B, H, W, 12) maps (the public
-        contract); 'phase' -> (B, H/2, W/2, 4, 12) phase-major maps —
-        identical values, different data layout. The fused rendering loss
-        consumes the phase form directly (ops/render_pallas.phase_to_planes),
-        so the narrow 12-channel full-resolution tensor never materializes
-        in the training hot path."""
+        contract); 'phase' -> (B, H/2, W/2, 4, 12) phase-major maps;
+        'phase_planes' -> (B, 48, H/2, W/2) phase-PLANE maps (plane
+        (a*2+d)*12 + c = map c of phase cell (a, d)) — identical values,
+        different data layouts. The fused mixed loss consumes phase_planes
+        directly (ops/render_pallas.mixed_loss_fused_planes): the single
+        lane-crossing transpose happens on the 36-channel head tensor,
+        tanh+decode run at full lane width on planes, and the narrow
+        12-channel full-resolution tensor never materializes in the
+        training hot path."""
         if images.ndim == 5:  # (B, N, H, W, 3) -> first view only
             images = images[:, 0]
         # phase_tail keeps the 9-channel full-res tensors in a space-to-
@@ -76,8 +101,20 @@ class SingleViewModel(nn.Module):
                 b2, h2, w2, _ = spatial.shape
                 return L.space_to_phase(spatial).reshape(
                     b2, h2 // 2, w2 // 2, 4, 12)
+            if output_layout == "phase_planes":
+                from svbrdf_tpu.ops import render_pallas
+                return render_pallas.svbrdf_to_phase_planes(
+                    spatial.astype(self.dtype))
             return spatial
         b, h, w, _ = sv9.shape
+        if output_layout == "phase_planes":
+            # Transpose FIRST (one lane-crossing copy on the 36-channel
+            # tensor), then decode on planes at full lane width; the loss
+            # kernel grid-indexes the phase cell, so no interleave is ever
+            # materialized on the forward OR backward path.
+            t = sv9.reshape(b, h, w, 4, 9).transpose(0, 3, 4, 1, 2)
+            return head_to_svbrdf_planes(t, dtype=self.dtype).reshape(
+                b, 48, h, w)
         if output_layout == "phase":
             # Training hot path: hand the maps to the fused loss in the
             # COMPUTE dtype — at bf16 the phase->planes transpose and the

@@ -37,6 +37,7 @@ from svbrdf_tpu.scene import Scene
 
 _PI = math.pi
 EPSILON_RENDER = 0.1   # log-space epsilon, reference losses.py:46
+EPSILON_L1 = 0.01      # log-space epsilon for diffuse/specular, losses.py:13
 _EPS = 0.001
 
 import os
@@ -303,6 +304,37 @@ def _scene_loss_and_grads(pred_tile, gt_tile, scene_vec, x, y, want_dgt):
     return loss, dpred, dgt
 
 
+def _l1_tile(pred_tile, gt_tile, want_dgt):
+    """svbrdf_l1_loss terms of one (12, TH, TW) tile pair.
+
+    Returns (l1_sum, dpred_l1, dgt_l1-or-None): the four per-map L1 sums
+    (normals/roughness plain, diffuse/specular in log(x + 0.01) space —
+    reference losses.py:7-19) share one normalizer (each is a mean over
+    B*H*W*3 elements), so their tile sums add into ONE scalar. Folding
+    this into the rendering-loss kernel removes the separate full-tensor
+    L1 passes and the gradient-add downstream (the tiles are already in
+    VMEM)."""
+    dn = pred_tile[0:3] - gt_tile[0:3]
+    dr = pred_tile[6:9] - gt_tile[6:9]
+    pd = pred_tile[3:6] + EPSILON_L1
+    td = gt_tile[3:6] + EPSILON_L1
+    ps = pred_tile[9:12] + EPSILON_L1
+    ts = gt_tile[9:12] + EPSILON_L1
+    dd = jnp.log(pd) - jnp.log(td)
+    ds = jnp.log(ps) - jnp.log(ts)
+    l1 = (jnp.sum(jnp.abs(dn)) + jnp.sum(jnp.abs(dd))
+          + jnp.sum(jnp.abs(dr)) + jnp.sum(jnp.abs(ds)))
+    sd = jnp.sign(dd)
+    ss = jnp.sign(ds)
+    dpred = jnp.concatenate(
+        [jnp.sign(dn), sd / pd, jnp.sign(dr), ss / ps], axis=0)
+    if not want_dgt:
+        return l1, dpred, None
+    dgt = jnp.concatenate(
+        [-jnp.sign(dn), -sd / td, -jnp.sign(dr), -ss / ts], axis=0)
+    return l1, dpred, dgt
+
+
 def _patch_xy(tile_shape, row0, col0, height, width):
     # TPU iota must be integer-typed; cast after.
     col = jax.lax.broadcasted_iota(jnp.int32, tile_shape, 1).astype(
@@ -384,6 +416,93 @@ def _fwdgrad_kernel(off_ref, scene_ref, pred_ref, gt_ref, loss_ref,
         (jnp.zeros((), jnp.float32), jnp.zeros_like(pred_tile)))
     loss_ref[0] = jnp.full((8, 128), total / (8.0 * 128.0), jnp.float32)
     dpred_ref[0] = (dp * inv_count).astype(dpred_ref.dtype)
+
+
+def _patch_xy_fold(tile_shape, row0, col0, a, d, fold, height, width):
+    """Full-resolution patch coordinates of one tile.
+
+    fold=1: rows/cols are full-res (row0/col0 in full-res units, a=d=0).
+    fold=2 (phase-planes layout): the tile holds HALF-res planes of phase
+    cell (a, d); half-res pixel (i, j) is full-res (fold*i + a, fold*j + d).
+    """
+    col = jax.lax.broadcasted_iota(jnp.int32, tile_shape, 1).astype(
+        jnp.float32) + col0
+    row = jax.lax.broadcasted_iota(jnp.int32, tile_shape, 0).astype(
+        jnp.float32) + row0
+    if fold != 1:
+        col = col * fold + d
+        row = row * fold + a
+    x = -1.0 + 2.0 * col / (width - 1)
+    y = 1.0 - 2.0 * row / (height - 1)
+    return x, y
+
+
+def _mixed_fwd_kernel(off_ref, scene_ref, pred_ref, gt_ref, out_ref, *,
+                      tile_h, tile_w, height, width, n_scenes, l1_weight,
+                      inv_render, inv_l1, fold):
+    """Value-only mixed loss: rendering term + l1_weight * svbrdf-L1, both
+    from the SAME VMEM tiles; the partial is pre-normalized so the caller
+    just sums. Grid is (batch, fold^2, n_h, n_w): with the phase-planes
+    layout (fold=2) each program shades ONE phase cell's 12 half-res
+    planes — the cell is grid-indexed, so the kernel body stays the fold=1
+    body with offset coordinates and NO interleaving anywhere."""
+    cell = pl.program_id(1)
+    a, d = cell // fold, cell % fold
+    row0 = pl.program_id(2) * tile_h + off_ref[0, 0]
+    col0 = pl.program_id(3) * tile_w
+    pred_tile = pred_ref[0].astype(jnp.float32)
+    gt_tile = gt_ref[0].astype(jnp.float32)
+    x, y = _patch_xy_fold(pred_tile.shape[1:], row0, col0, a, d, fold,
+                          height, width)
+
+    def body(s, acc):
+        return acc + _scene_loss_sum(pred_tile, gt_tile,
+                                     _read_scene(scene_ref, s), x, y)
+
+    total = jax.lax.fori_loop(0, n_scenes, body, jnp.zeros((), jnp.float32))
+    combined = total * inv_render
+    if l1_weight != 0.0:
+        l1, _, _ = _l1_tile(pred_tile, gt_tile, False)
+        combined = combined + l1_weight * inv_l1 * l1
+    out_ref[0] = jnp.full((8, 128), combined / (8.0 * 128.0), jnp.float32)
+
+
+def _mixed_fwdgrad_kernel(off_ref, scene_ref, pred_ref, gt_ref, loss_ref,
+                          dpred_ref, *, tile_h, tile_w, height, width,
+                          n_scenes, l1_weight, inv_render, inv_l1, fold):
+    """Fused mixed-loss value + COMBINED pred gradient (training hot path).
+
+    One kernel emits the pre-normalized loss partial and
+    d(mixed)/d(pred planes) = inv_render * d(render) + l1_weight * inv_l1
+    * d(L1) — so no gradient-add, no separate L1 passes, and the custom-VJP
+    backward is a scalar scale (+ one layout transpose for phase callers).
+    See _mixed_fwd_kernel for the fold/grid convention."""
+    cell = pl.program_id(1)
+    a, d = cell // fold, cell % fold
+    row0 = pl.program_id(2) * tile_h + off_ref[0, 0]
+    col0 = pl.program_id(3) * tile_w
+    pred_tile = pred_ref[0].astype(jnp.float32)
+    gt_tile = gt_ref[0].astype(jnp.float32)
+    x, y = _patch_xy_fold(pred_tile.shape[1:], row0, col0, a, d, fold,
+                          height, width)
+
+    def body(s, acc):
+        total, dp_acc = acc
+        loss, dp, _ = _scene_loss_and_grads(
+            pred_tile, gt_tile, _read_scene(scene_ref, s), x, y, False)
+        return total + loss, dp_acc + dp
+
+    total, dp = jax.lax.fori_loop(
+        0, n_scenes, body,
+        (jnp.zeros((), jnp.float32), jnp.zeros_like(pred_tile)))
+    combined = total * inv_render
+    dp = dp * inv_render
+    if l1_weight != 0.0:
+        l1, dpl1, _ = _l1_tile(pred_tile, gt_tile, False)
+        combined = combined + l1_weight * inv_l1 * l1
+        dp = dp + (l1_weight * inv_l1) * dpl1
+    loss_ref[0] = jnp.full((8, 128), combined / (8.0 * 128.0), jnp.float32)
+    dpred_ref[0] = dp.astype(dpred_ref.dtype)
 
 
 def _fwdgrad_kernel_both(off_ref, scene_ref, pred_ref, gt_ref, loss_ref,
@@ -601,6 +720,155 @@ def rendering_loss_fused_planes(pred_t: jnp.ndarray, gt_t: jnp.ndarray,
                               want_target_grad, int(global_height))
 
 
+def _mixed_grid_call(kernel_fn, pred_t, gt_t, scenes9, row_off,
+                     global_height, fold, l1_weight, tile_h, tile_w,
+                     with_grad):
+    """Launch a mixed-loss kernel over grid (batch, fold^2, n_h, n_w).
+
+    pred_t/gt_t: (B, 12, H, W) full-res planes (fold=1) or (B, 48, h, w)
+    phase-planes (fold=2; plane (a*2+d)*12 + c holds map c of phase cell
+    (a, d) at half resolution). height/width passed to the kernel and the
+    loss normalizers are always FULL resolution."""
+    batch, _, gh, gw = pred_t.shape
+    height, width = fold * gh, fold * gw
+    n_h = gh // tile_h
+    n_w = gw // tile_w
+    cells = fold * fold
+    inv_render = 1.0 / _count(batch, scenes9.shape[1], height, width,
+                              fold * global_height)
+    inv_l1 = 1.0 / (batch * (fold * global_height or height) * width * 3)
+    kernel = functools.partial(
+        kernel_fn, tile_h=tile_h, tile_w=tile_w, height=height, width=width,
+        n_scenes=scenes9.shape[1], l1_weight=l1_weight,
+        inv_render=inv_render, inv_l1=inv_l1, fold=fold)
+    svbrdf_spec = pl.BlockSpec((1, 12, tile_h, tile_w),
+                               lambda b, cell, h, w: (b, cell, h, w),
+                               memory_space=pltpu.VMEM)
+    scene_spec = pl.BlockSpec((1,) + scenes9.shape[1:],
+                              lambda b, cell, h, w: (b, 0, 0),
+                              memory_space=pltpu.SMEM)
+    off_spec = pl.BlockSpec((1, 1), lambda b, cell, h, w: (0, 0),
+                            memory_space=pltpu.SMEM)
+    loss_shape = jax.ShapeDtypeStruct((batch * cells * n_h * n_w, 8, 128),
+                                      jnp.float32)
+    loss_spec = pl.BlockSpec(
+        (1, 8, 128),
+        lambda b, cell, h, w: (((b * cells + cell) * n_h + h) * n_w + w,
+                               0, 0),
+        memory_space=pltpu.VMEM)
+    if with_grad:
+        out_shape = (loss_shape,
+                     jax.ShapeDtypeStruct(pred_t.shape, pred_t.dtype))
+        out_specs = (loss_spec, svbrdf_spec)
+    else:
+        out_shape = loss_shape
+        out_specs = loss_spec
+    return pl.pallas_call(
+        kernel,
+        grid=(batch, cells, n_h, n_w),
+        in_specs=[off_spec, scene_spec, svbrdf_spec, svbrdf_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_use_interpret(),
+    )(row_off, scenes9, pred_t, gt_t)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _fused_mixed(pred, gt_t, scenes9, row_off, tile_h, tile_w, l1_weight,
+                 global_height, pred_kind):
+    pred_t = phase_to_planes(pred) if pred_kind == "phase" else pred
+    fold = 2 if pred_kind == "pp" else 1
+    partials = _mixed_grid_call(
+        _mixed_fwd_kernel, pred_t, gt_t, scenes9, row_off, global_height,
+        fold, l1_weight, tile_h, tile_w, with_grad=False)
+    return jnp.sum(partials)
+
+
+def _fused_mixed_fwd(pred, gt_t, scenes9, row_off, tile_h, tile_w,
+                     l1_weight, global_height, pred_kind):
+    """One fused kernel -> (loss, combined pre-scaled pred gradient)."""
+    pred_t = phase_to_planes(pred) if pred_kind == "phase" else pred
+    fold = 2 if pred_kind == "pp" else 1
+    partials, dpred = _mixed_grid_call(
+        _mixed_fwdgrad_kernel, pred_t, gt_t, scenes9, row_off,
+        global_height, fold, l1_weight, tile_h, tile_w, with_grad=True)
+    return jnp.sum(partials), (dpred, jnp.zeros((), gt_t.dtype))
+
+
+def _fused_mixed_bwd(tile_h, tile_w, l1_weight, global_height,
+                     pred_kind, residuals, g):
+    """Scalar cotangent scale; for 'phase' callers, ONE inverse transpose.
+
+    Hand-writing this keeps any layout conversion INSIDE the VJP boundary:
+    autodiff of the phase->planes pair materialized a 3-copy relayout
+    chain on the backward (measured ~0.5 ms/step at 256^2 b8 on v5e). The
+    'pp' (phase-planes) layout needs no conversion at all — the kernel
+    grid-indexes the phase cell."""
+    dpred_raw, gt_marker = residuals
+    gf = jnp.asarray(g, jnp.float32)
+    dpred = (dpred_raw.astype(jnp.float32) * gf).astype(dpred_raw.dtype)
+    if pred_kind == "phase":
+        dpred = planes_to_phase(dpred)
+    # gt is stop-gradient'ed by the public wrappers; this zero never leaks.
+    dgt = jnp.zeros(dpred_raw.shape, gt_marker.dtype)
+    return dpred, dgt, None, None
+
+
+_fused_mixed.defvjp(_fused_mixed_fwd, _fused_mixed_bwd)
+
+
+def mixed_loss_fused_planes(pred_t: jnp.ndarray, gt_t: jnp.ndarray,
+                            scenes: Scene, l1_weight: float = 0.1,
+                            tile_h: int = DEFAULT_TILE_H, tile_w: int = 0,
+                            row_offset=None,
+                            global_height: int = 0) -> jnp.ndarray:
+    """Fused mixed loss (l1_weight * svbrdf_l1 + rendering loss) on planes.
+
+    pred_t may be (B, 12, H, W) channel planes, (B, h, w, 4, 12)
+    phase-major maps, or (B, 48, h, w) phase-planes (the phase-tail
+    model's output_layout='phase_planes' — plane (a*2+d)*12 + c is map c
+    of phase cell (a, d) at half res). gt_t must match: (B, 12, H, W) for
+    the first two, (B, 48, h, w) for phase-planes. Value equals
+    l1_weight * losses.svbrdf_l1_loss + losses.rendering_loss for the same
+    scenes (tested); the gradient comes out of ONE fused kernel with the
+    L1 term folded in. Reference semantics: losses.py:54-63 (MixedLoss).
+    """
+    gt_t = jax.lax.stop_gradient(gt_t)
+    scenes9 = pack_scenes(scenes)
+    if pred_t.ndim == 5:
+        # Converted to FULL-res planes inside the VJP; tiles divide those.
+        pred_kind = "phase"
+        gh, gw = 2 * pred_t.shape[1], 2 * pred_t.shape[2]
+    elif pred_t.shape[1] == 48:
+        pred_kind = "pp"
+        gh, gw = pred_t.shape[2], pred_t.shape[3]
+    else:
+        pred_kind = "planes"
+        gh, gw = pred_t.shape[2], pred_t.shape[3]
+    # Tiles divide the KERNEL grid dims (full-res planes for 'planes' and
+    # 'phase', half-res planes for 'pp').
+    th = min(tile_h, gh)
+    tw = tile_w if tile_w > 0 else min(gw, MAX_TILE_W)
+    if gh % th or gw % tw:
+        raise ValueError(
+            f"tile ({th}, {tw}) must divide the plane grid ({gh}, {gw})")
+    if row_offset is None:
+        row_offset = jnp.zeros((1, 1), jnp.int32)
+    else:
+        row_offset = jnp.asarray(row_offset, jnp.int32).reshape(1, 1)
+    return _fused_mixed(pred_t, gt_t, scenes9, row_offset, th, tw,
+                        float(l1_weight), int(global_height), pred_kind)
+
+
+def svbrdf_to_phase_planes(svbrdf: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) NHWC -> (B, 4C, H/2, W/2) phase-planes in ONE
+    transpose: out[b, (a*2+d)*C + c, v, u] = svbrdf[b, 2v+a, 2u+d, c]."""
+    b, hh, ww, c = svbrdf.shape
+    h, w = hh // 2, ww // 2
+    p = svbrdf.reshape(b, h, 2, w, 2, c).transpose(0, 2, 4, 5, 1, 3)
+    return p.reshape(b, 4 * c, h, w)
+
+
 def phase_to_planes(phase: jnp.ndarray) -> jnp.ndarray:
     """(B, h, w, 4, C) phase-major maps -> (B, C, 2h, 2w) channel planes
     in ONE transpose (planes[b, c, 2v+a, 2w+d] = phase[b, v, w, (a, d), c]).
@@ -613,3 +881,13 @@ def phase_to_planes(phase: jnp.ndarray) -> jnp.ndarray:
     b, h, w, _, c = phase.shape
     p = phase.reshape(b, h, w, 2, 2, c).transpose(0, 5, 1, 3, 2, 4)
     return p.reshape(b, c, 2 * h, 2 * w)
+
+
+def planes_to_phase(planes: jnp.ndarray) -> jnp.ndarray:
+    """(B, C, 2h, 2w) channel planes -> (B, h, w, 4, C) phase-major maps:
+    the exact inverse of phase_to_planes, used by the hand-written mixed
+    loss VJP (one transpose instead of the autodiff-derived copy chain)."""
+    b, c, hh, ww = planes.shape
+    h, w = hh // 2, ww // 2
+    p = planes.reshape(b, c, h, 2, w, 2).transpose(0, 2, 4, 3, 5, 1)
+    return p.reshape(b, h, w, 4, c)

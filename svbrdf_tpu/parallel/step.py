@@ -153,6 +153,24 @@ class TrainStep:
         return params, opt_state, loss
 
 
+def _phase_kwargs(model, loss_fn):
+    """Pick the space-to-depth output layout the loss can consume.
+
+    Preferred: 'phase_planes' ((B, 48, h, w) — the fused mixed loss
+    kernel grid-indexes the phase cell, so no interleave is materialized
+    on the forward or backward path). Fallback: 'phase' (legacy
+    (B, h, w, 4, 12)). Without support on either side, the spatial
+    12-channel prediction is produced as usual."""
+    if not getattr(loss_fn, "accepts_phase", False):
+        return {}
+    if (getattr(model, "supports_phase_planes_output", False)
+            and getattr(loss_fn, "accepts_phase_planes", False)):
+        return {"output_layout": "phase_planes"}
+    if getattr(model, "supports_phase_output", False):
+        return {"output_layout": "phase"}
+    return {}
+
+
 def make_train_step(model, optimizer: optax.GradientTransformation,
                     loss_fn: Callable, prep: PrepConfig,
                     mesh=None, donate: bool = True,
@@ -183,14 +201,7 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
     compute tree (one slot, never stale) when several programs step the
     same params."""
 
-    # Phase-direct loss path: when the model can emit phase-major maps and
-    # the loss consumes them (fused local rendering loss), the spatial
-    # 12-channel prediction never materializes — one transpose straight to
-    # the kernel's plane layout instead of unpack + re-transpose.
-    phase_kwargs = (
-        {"output_layout": "phase"}
-        if (getattr(model, "supports_phase_output", False)
-            and getattr(loss_fn, "accepts_phase", False)) else {})
+    phase_kwargs = _phase_kwargs(model, loss_fn)
 
     compute_dtype = (jnp.bfloat16
                      if getattr(model, "dtype", None) == jnp.bfloat16
@@ -305,10 +316,7 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
 def make_eval_step(model, loss_fn: Callable, prep: PrepConfig, mesh=None):
     """Validation step: deterministic model, same loss. Reference main.py:129-147."""
 
-    phase_kwargs = (
-        {"output_layout": "phase"}
-        if (getattr(model, "supports_phase_output", False)
-            and getattr(loss_fn, "accepts_phase", False)) else {})
+    phase_kwargs = _phase_kwargs(model, loss_fn)
 
     def step(params, raw_batch, key):
         k_prep, k_loss = jax.random.split(key)

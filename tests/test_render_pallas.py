@@ -129,6 +129,63 @@ def test_loss_fn_fused_variant(case):
                                float(ref(pred, target, key)), rtol=1e-5)
 
 
+def test_phase_planes_loss_matches_spatial(case):
+    """The phase-planes path ((B, 48, h, w); phase cell as a kernel grid
+    dim, no interleave anywhere) gives the same mixed-loss value and
+    pred-gradients as the spatial path."""
+    pred, target, scenes = case
+    key = jax.random.key(11)
+    loss_fn = losses.make_loss_fn("mixed", "local", fused=True)
+    assert getattr(loss_fn, "accepts_phase_planes", False)
+
+    to_pp = render_pallas.svbrdf_to_phase_planes
+    # The value's tile sums partition per phase cell, so the f32 summation
+    # ORDER differs from the spatial tiling (reassociation-level ~1e-5);
+    # the per-pixel gradients are bit-identical.
+    v_spatial = float(loss_fn(pred, target, key))
+    v_pp = float(loss_fn(to_pp(pred), target, key))
+    np.testing.assert_allclose(v_pp, v_spatial, rtol=1e-4)
+
+    g_spatial = jax.grad(lambda p: loss_fn(p, target, key))(pred)
+    g_pp = jax.grad(lambda p: loss_fn(to_pp(p), target, key))(pred)
+    np.testing.assert_allclose(np.asarray(g_pp), np.asarray(g_spatial),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_model_phase_planes_output_matches_spatial():
+    """SingleViewModel(output_layout='phase_planes') is a pure relayout of
+    its spatial output (the planes-variant head decode is exact)."""
+    from svbrdf_tpu.models import SingleViewModel
+
+    model = SingleViewModel(use_coords=False, depth=5)
+    imgs = jnp.asarray(np.random.default_rng(3).uniform(
+        0, 1, (1, 1, 32, 32, 3)).astype(np.float32))
+    params = model.init(jax.random.key(0), jnp.zeros((1, 1, 32, 32, 3)))
+    spatial = model.apply(params, imgs, deterministic=True)
+    pp = model.apply(params, imgs, deterministic=True,
+                     output_layout="phase_planes")
+    np.testing.assert_allclose(
+        np.asarray(pp),
+        np.asarray(render_pallas.svbrdf_to_phase_planes(spatial)),
+        rtol=1e-6, atol=1e-6)
+
+
+def test_mixed_fused_gradients_match_unfused(case):
+    """The single-kernel mixed loss (L1 folded in, combined gradient)
+    matches the unfused l1 + rendering composition's pred gradients."""
+    pred, target, _ = case
+    fn = losses.make_loss_fn("mixed", "local", fused=True)
+    ref = losses.make_loss_fn("mixed", "local", fused=False)
+    key = jax.random.key(7)
+    g_fused = jax.grad(lambda p: fn(p, target, key))(pred)
+    g_ref = jax.grad(lambda p: ref(p, target, key))(pred)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=2e-4, atol=1e-6)
+    # Target gradients are stop-gradient'ed in the fused path.
+    gt = jax.grad(lambda t: fn(pred, t, key))(target)
+    np.testing.assert_array_equal(np.asarray(gt), 0.0)
+
+
 def test_non_dividing_tile_rejected(case):
     # A tile that does not divide the image would silently drop rows from
     # the loss (grid covers n_h*tile_h rows; normalizer uses full H).
