@@ -44,17 +44,33 @@ def _prepare(key, raw_batch, prep: PrepConfig):
     )
 
 
-def make_optimizer(learning_rate: float,
-                   model_dtype=None) -> optax.GradientTransformation:
+def make_optimizer(learning_rate: float, model_dtype=None,
+                   state_precision: str = None
+                   ) -> optax.GradientTransformation:
     """Adam configured for the model's compute dtype.
 
-    bf16 models store the FIRST moment in bf16 (`mu_dtype`): its decay
-    increments are 10%-scale, well inside bf16's mantissa, and halving
-    its read+write removes ~0.4 ms/step of pure HBM traffic at 80M
-    params on v5e. The second moment stays f32 — its 1e-3-scale EMA
-    increments would vanish entirely at bf16 precision. f32 models (CPU
-    tests, the parity oracle) get the plain f32-state Adam."""
-    if model_dtype == jnp.bfloat16:
+    bf16 models (state_precision auto -> 'bf16sr') store BOTH moments in
+    bf16: mu round-to-nearest (its decay increments are 10%-scale, well
+    inside bf16's mantissa), nu via STOCHASTIC rounding (its 1e-3-scale
+    EMA increments vanish under round-to-nearest; SR keeps the EMA
+    unbiased — parallel/optimizer.py). Halving both moments removes
+    ~0.8 ms/step of pure HBM traffic at 80M params on v5e; update
+    arithmetic stays f32 and the math is exactly optax.adam's. f32 models
+    (CPU tests, the parity oracle) get the plain f32-state Adam.
+    state_precision: None (auto) | 'f32' | 'bf16' (mu only) | 'bf16sr'.
+    """
+    import os
+
+    if state_precision is None:
+        state_precision = os.environ.get("SVBRDF_OPT_STATE", "auto")
+    if state_precision == "auto":
+        state_precision = ("bf16sr" if model_dtype == jnp.bfloat16
+                          else "f32")
+    if state_precision == "bf16sr":
+        from svbrdf_tpu.parallel.optimizer import adam_bf16sr
+
+        return adam_bf16sr(learning_rate)
+    if state_precision == "bf16":
         return optax.adam(learning_rate, mu_dtype=jnp.bfloat16)
     return optax.adam(learning_rate)
 
