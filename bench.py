@@ -95,13 +95,12 @@ def main():
                       is_linear=False, mix_materials=True)
     # BENCH_SCAN=K benches the trainer's device-cache multi-step program
     # (--steps-per-call K: K optimizer steps per dispatch via lax.scan).
-    # Measured equal per-step device time to K=1 (12.7 vs 12.1 ms; the
-    # scan saves the per-program launch gap but pays loop-carry overhead)
-    # — its win is END-TO-END: it removes the per-step host dispatch cost
-    # that dominates real training on a slow host / high-latency tunnel.
-    # Default 1: the single-step program is the headline device metric
-    # and compiles ~4x faster.
-    scan_k = int(os.environ.get("BENCH_SCAN", "1"))
+    # DEFAULT 16 — the program the TPU trainer actually runs
+    # (--device-data-cache auto-selects K=16), traced gap-free on device
+    # (profiling: 'XLA Modules' busy == span). BENCH_SCAN=1 measures the
+    # single-step program, whose wall time through a tunneled chip adds
+    # ~1 ms/step of host dispatch that real training does not pay.
+    scan_k = int(os.environ.get("BENCH_SCAN", "16"))
     step = make_train_step(model, optimizer, loss_fn, prep, mesh,
                            donate=True, scan_steps=scan_k)
 
@@ -127,6 +126,9 @@ def main():
     key = jax.random.key(0)
     params = model.init(jax.random.fold_in(key, 1),
                         jnp.zeros((1, n_views, size, size, 3)))["params"]
+    from svbrdf_tpu.parallel.step import master_cast
+
+    params = master_cast(params, dtype)  # bf16-SR masters when enabled
     opt_state = optimizer.init(params)
     repl = mesh_lib.replicated_sharding(mesh)
     params = jax.device_put(params, repl)
@@ -146,7 +148,15 @@ def main():
         params, opt_state, loss = call(i)
     float(jnp.sum(loss))
 
-    n_calls = (48 // scan_k if variant == "local" else 20)
+    # Window sizing: enough steps that the ONE host fetch closing the
+    # chain (the only trustworthy barrier through the tunnel, ~tens of ms)
+    # amortizes below ~0.1 ms/step.
+    if variant != "local":
+        n_calls = 20
+    elif scan_k > 1:
+        n_calls = max(3, 512 // scan_k)
+    else:
+        n_calls = 48
     t0 = time.perf_counter()
     for i in range(n_calls):
         params, opt_state, loss = call(100 + i)

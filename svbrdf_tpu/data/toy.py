@@ -96,12 +96,18 @@ def render_strip(svbrdf: np.ndarray, n_inputs: int, seed: int
     from svbrdf_tpu.data import pipeline
     from svbrdf_tpu.ops import codecs, render
 
-    key = jax.random.key(seed)
-    scenes = pipeline.generate_input_scenes(key, n_inputs,
-                                            use_augmentation=False)
-    renders = render.render(scenes, svbrdf[None])  # (n, H, W, 3) linear
-    photos = np.asarray(jax.numpy.clip(codecs.gamma_encode(renders),
-                                       0.0, 1.0))
+    if n_inputs == 0:
+        # Maps-only strips (the reference's material-mixing training
+        # corpora have no stored photographs; dataset.py:51-55 — inputs
+        # are synthesized on device from the mixed SVBRDF).
+        photos = np.zeros((0,) + svbrdf.shape[:2] + (3,), np.float32)
+    else:
+        key = jax.random.key(seed)
+        scenes = pipeline.generate_input_scenes(key, n_inputs,
+                                                use_augmentation=False)
+        renders = render.render(scenes, svbrdf[None])  # (n, H, W, 3) linear
+        photos = np.asarray(jax.numpy.clip(codecs.gamma_encode(renders),
+                                           0.0, 1.0))
 
     normals01 = svbrdf[..., :3] * 0.5 + 0.5
     maps = [normals01, svbrdf[..., 3:6], svbrdf[..., 6:9],

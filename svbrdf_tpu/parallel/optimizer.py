@@ -33,7 +33,12 @@ import optax
 def _dither_bits(shape, salt: jnp.ndarray) -> jnp.ndarray:
     """Per-element uint32 hash (murmur3-style finalizer over linear index
     and a per-step salt). Not cryptographic — it only needs to be
-    uncorrelated dither for stochastic rounding."""
+    uncorrelated dither for stochastic rounding. A one-multiply variant
+    (idx*C + salt, xor-shift) was tried and is NOT sufficient: under
+    sequential salts its dither sweeps a contiguous range instead of
+    covering [0, 2^16), which biases the SR mean (caught by
+    test_sr_bf16_unbiased); the full finalizer is free anyway inside the
+    bandwidth-bound update fusion (measured: no step-time change)."""
     n = 1
     for d in shape:
         n *= d

@@ -75,6 +75,30 @@ def make_optimizer(learning_rate: float, model_dtype=None,
     return optax.adam(learning_rate)
 
 
+def master_dtype_policy() -> str:
+    """Master-parameter storage policy for bf16 models.
+
+    'f32' (default): f32 masters + a carried bf16 compute-copy tree (exact
+    Adam apply; 640 MB/step of f32 param HBM traffic at 80M params).
+    'bf16sr': >=2-D master leaves stored bf16, updated with STOCHASTIC
+    rounding (unbiased; parallel/optimizer.py) — the params ARE the
+    compute tree, removing the f32 read+write AND the compute-copy write
+    (~0.6 ms/step at 80M params on v5e). 1-D leaves (biases, norm scales)
+    stay f32 either way. Env: SVBRDF_MASTER_DTYPE.
+    """
+    import os
+
+    return os.environ.get("SVBRDF_MASTER_DTYPE", "f32")
+
+
+def master_cast(params, model_dtype):
+    """Bring a (restored or freshly initialized) f32 param tree to the
+    master storage dtypes the current policy trains in."""
+    if master_dtype_policy() == "bf16sr" and model_dtype == jnp.bfloat16:
+        return compute_cast(params, jnp.bfloat16)
+    return params
+
+
 def compute_cast(params, dtype):
     """bf16 'compute copies' of the master params: every >=2-D leaf (conv /
     dense kernels — 99.9% of the bytes) cast to `dtype`; 1-D leaves
@@ -219,8 +243,14 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
 
     phase_kwargs = _phase_kwargs(model, loss_fn)
 
+    master_sr = (master_dtype_policy() == "bf16sr"
+                 and getattr(model, "dtype", None) == jnp.bfloat16)
+    # With bf16-SR masters the params ARE the compute tree (>=2-D leaves
+    # bf16, 1-D leaves f32) — no carried copy, and the f32 master
+    # read+write leaves the step entirely.
     compute_dtype = (jnp.bfloat16
-                     if getattr(model, "dtype", None) == jnp.bfloat16
+                     if (getattr(model, "dtype", None) == jnp.bfloat16
+                         and not master_sr)
                      else None)
 
     def one_step(params, opt_state, compute, raw_batch, key):
@@ -240,7 +270,30 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
         loss, grads = jax.value_and_grad(loss_of)(
             params if compute is None else compute)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
+        if master_sr:
+            # p + u under STOCHASTIC rounding for the bf16 master leaves:
+            # at lr=1e-5 the relative update (~1e-4) is far below bf16's
+            # mantissa step (~4e-3), so round-to-nearest would drop nearly
+            # every update; SR applies them in expectation (see
+            # parallel/optimizer.py). Salt from the step key: decorrelated
+            # across steps, deterministic per (seed, step).
+            from svbrdf_tpu.parallel import optimizer as opt_lib
+
+            salt = jax.random.randint(jax.random.fold_in(key, 17), (),
+                                      0, 2 ** 31 - 1, jnp.int32)
+            leaves, treedef = jax.tree.flatten(params)
+            up_l = treedef.flatten_up_to(updates)
+            new_l = []
+            for i, (p, u) in enumerate(zip(leaves, up_l)):
+                if p.dtype == jnp.bfloat16:
+                    new_l.append(opt_lib.sr_bf16(
+                        p.astype(jnp.float32) + u.astype(jnp.float32),
+                        salt + jnp.int32(i)))
+                else:
+                    new_l.append(p + u.astype(p.dtype))
+            new_params = treedef.unflatten(new_l)
+        else:
+            new_params = optax.apply_updates(params, updates)
         if compute is None:
             new_compute = None
         else:

@@ -206,8 +206,14 @@ class Checkpoint:
                 return self._tree["params"]
             from flax import serialization
 
-            return serialization.from_state_dict(params,
-                                                 self._tree["params"])
+            restored = serialization.from_state_dict(params,
+                                                     self._tree["params"])
+            # Checkpoints written under a different master-dtype policy
+            # (e.g. bf16-SR masters) restore cleanly into the template's
+            # dtypes; the trainer re-applies its own policy afterwards
+            # (training/loop.py master_cast).
+            return jax.tree.map(lambda t, r: jnp.asarray(r, t.dtype),
+                                params, restored)
         print("Failed to restore model state")
         return params
 

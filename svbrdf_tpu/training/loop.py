@@ -114,6 +114,11 @@ def setup(args, mesh=None):
     elif args.mode == "test":
         raise SystemExit("No model found in the model directory but it is "
                          "required for testing.")
+    if args.mode == "train":
+        # Under the bf16-SR master policy the TRAINED tree stores >=2-D
+        # leaves in bf16 (step_lib.master_dtype_policy); checkpoints of
+        # either dtype restore cleanly (f32 template -> cast here).
+        params = step_lib.master_cast(params, getattr(model, "dtype", None))
 
     optimizer = step_lib.make_optimizer(args.learning_rate,
                                         getattr(model, "dtype", None))

@@ -401,6 +401,87 @@ class TestComputeParamCarry:
         assert step.compute_box[0] is None
 
 
+class TestBf16SRMasters:
+    """SVBRDF_MASTER_DTYPE=bf16sr: >=2-D master leaves stored bf16 and
+    updated with stochastic rounding — the params ARE the compute tree
+    (no carried copy, no f32 master traffic). parallel/step.py."""
+
+    def _setup(self, monkeypatch):
+        from svbrdf_tpu import losses
+        from svbrdf_tpu.models import SingleViewModel
+        from svbrdf_tpu.parallel import step as step_lib
+
+        monkeypatch.setenv("SVBRDF_MASTER_DTYPE", "bf16sr")
+        model = SingleViewModel(num_filters=4, depth=4, dtype=jnp.bfloat16)
+        optimizer = step_lib.make_optimizer(1e-4, jnp.bfloat16)
+        loss_fn = losses.make_loss_fn("mixed", "local", fused=False)
+        prep = step_lib.PrepConfig(1, True, False, False)
+        step = step_lib.make_train_step(model, optimizer, loss_fn, prep,
+                                        mesh=None, donate=False)
+        rng = np.random.default_rng(0)
+        sv = rng.uniform(0.1, 0.9, (2, 16, 16, 12)).astype(np.float32)
+        raw = {"inputs": np.zeros((2, 0, 16, 16, 3), np.float32),
+               "svbrdf": sv}
+        key = jax.random.key(313)
+        params0 = model.init(jax.random.fold_in(key, 1),
+                             jnp.zeros((1, 1, 16, 16, 3)))["params"]
+        params = step_lib.master_cast(params0, jnp.bfloat16)
+        return step, optimizer, params, raw, key
+
+    def test_masters_are_bf16_and_updates_land(self, monkeypatch):
+        step, optimizer, params, raw, key = self._setup(monkeypatch)
+        # No carried compute tree: the params are the compute tree.
+        assert step._compute_dtype is None
+        for a in jax.tree.leaves(params):
+            assert a.dtype == (jnp.bfloat16 if a.ndim >= 2 else jnp.float32)
+        p0 = jax.tree.map(lambda x: np.asarray(x, np.float32), params)
+        opt_state = optimizer.init(params)
+        losses_seen = []
+        for i in range(4):
+            params, opt_state, loss = step(params, opt_state, raw,
+                                           jax.random.fold_in(key, i))
+            losses_seen.append(float(loss))
+        assert all(np.isfinite(v) for v in losses_seen)
+        assert step.compute_box[0] is None
+        # Dtypes preserved through the update.
+        for a in jax.tree.leaves(params):
+            assert a.dtype == (jnp.bfloat16 if a.ndim >= 2 else jnp.float32)
+        # SR actually applies sub-ulp updates: at lr=1e-4 the per-step
+        # relative change is far below bf16's mantissa step, so
+        # round-to-nearest would leave most kernels frozen; stochastic
+        # rounding must have flipped a meaningful fraction of elements.
+        changed = total = 0
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p0)):
+            if a.ndim >= 2:
+                changed += int(np.sum(np.asarray(a, np.float32) != b))
+                total += b.size
+        assert changed > 0.05 * total
+
+    def test_bitwise_repeatable(self, monkeypatch):
+        """Same (seed, step) keys -> identical SR salt stream -> identical
+        parameters (determinism survives the stochastic rounding)."""
+        step, optimizer, params, raw, key = self._setup(monkeypatch)
+        outs = []
+        for _ in range(2):
+            p, o = params, optimizer.init(params)
+            for i in range(2):
+                p, o, _ = step(p, o, raw, jax.random.fold_in(key, i))
+            outs.append(jax.tree.leaves(p))
+        for a, b in zip(*outs):
+            np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                          np.asarray(b, np.float32))
+
+    def test_master_cast_roundtrip_policy_off(self, monkeypatch):
+        """Default policy leaves an f32 tree untouched."""
+        from svbrdf_tpu.parallel import step as step_lib
+
+        monkeypatch.delenv("SVBRDF_MASTER_DTYPE", raising=False)
+        tree = {"k": jnp.ones((3, 3)), "b": jnp.ones((3,))}
+        out = step_lib.master_cast(tree, jnp.bfloat16)
+        assert out["k"].dtype == jnp.float32
+        assert out["b"].dtype == jnp.float32
+
+
 class TestAutoLayoutStep:
     def test_matches_plain_step(self):
         """auto_layout=True (AUTO compiler-chosen layouts for the donated
