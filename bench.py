@@ -109,11 +109,27 @@ def main():
     n[..., 2] = np.abs(n[..., 2]) + 0.5
     n /= np.linalg.norm(n, axis=-1, keepdims=True)
     maps = rng.uniform(0.05, 0.95, (batch, size, size, 9)).astype(np.float32)
-    svbrdf = np.concatenate([n, maps], axis=-1)
+    # Raw batches enter the step as uint8 strip bytes — EXACTLY what the
+    # trainer feeds (host uint8 fast path / device data cache); the step
+    # program decodes on device (data/pipeline.prepare_batch).
+    svbrdf = np.concatenate(
+        [np.round((n * 0.5 + 0.5) * 255.0), np.round(maps * 255.0)],
+        axis=-1).astype(np.uint8)
+
+    def planes_u8(sv):
+        b, hh, ww, c = sv.shape
+        p = sv.reshape(b, hh // 2, 2, ww // 2, 2, c)
+        return p.transpose(0, 2, 4, 5, 1, 3).reshape(
+            b, 4 * c, hh // 2, ww // 2)
+
     raw = {
-        "inputs": np.zeros((batch, 0, size, size, 3), np.float32),
+        "inputs": np.zeros((batch, 0, size, size, 3), np.uint8),
         "svbrdf": svbrdf,
         "partner_svbrdf": svbrdf[::-1].copy(),
+        # The device data cache also serves a pre-transposed phase-planes
+        # store (data/device_cache.py) — feed it like the trainer does.
+        "svbrdf_planes": planes_u8(svbrdf),
+        "partner_svbrdf_planes": planes_u8(svbrdf[::-1]),
     }
     if scan_k > 1:
         raw = jax.tree.map(

@@ -38,7 +38,8 @@ class DeviceDataCache:
     host boundary.
     """
 
-    def __init__(self, dataset, mesh=None, max_bytes: int = 12 << 30):
+    def __init__(self, dataset, mesh=None, max_bytes: int = 12 << 30,
+                 planes: bool = True):
         if not dataset._transfer_u8:
             raise ValueError(
                 "DeviceDataCache needs the uint8 fast path "
@@ -51,6 +52,14 @@ class DeviceDataCache:
         n = len(dataset)
         x0, s0 = dataset.load_scaled_u8(0)
         shapes = {"inputs": (n,) + x0.shape, "svbrdf": (n,) + s0.shape}
+        # Planes store: the SVBRDF additionally kept in the fused loss
+        # kernel's phase-planes layout (4*12, H/2, W/2), transposed ONCE at
+        # cache build — training steps then do no spatial -> planes
+        # relayout at all (~0.8 ms/step of uint8 copies at 256^2 batch 8).
+        h, w, c = s0.shape
+        self._planes = planes and h % 2 == 0 and w % 2 == 0
+        if self._planes:
+            shapes["svbrdf_planes"] = (n, 4 * c, h // 2, w // 2)
         self.nbytes = sum(int(np.prod(s)) for s in shapes.values())
         if self.nbytes > max_bytes:
             raise ValueError(
@@ -79,6 +88,13 @@ class DeviceDataCache:
             donate_argnums=0,
             **({} if repl is None else {"out_shardings": repl}))
 
+        if self._planes:
+            from svbrdf_tpu.data.pipeline import _to_phase_planes_any
+
+            to_planes = jax.jit(
+                _to_phase_planes_any,
+                **({} if repl is None else {"out_shardings": repl}))
+
         store = {k: put(np.zeros(s, np.uint8))
                  for k, s in shapes.items()}
         for lo in range(0, n, _CHUNK):
@@ -87,6 +103,10 @@ class DeviceDataCache:
             xs, ss = zip(*(dataset.load_scaled_u8(i)
                            for i in range(lo, hi)))
             chunk = {"inputs": put(np.stack(xs)), "svbrdf": put(np.stack(ss))}
+            if self._planes:
+                # Transposed ON DEVICE from the uploaded chunk: no extra
+                # host transfer, and the relayout runs once, not per step.
+                chunk["svbrdf_planes"] = to_planes(chunk["svbrdf"])
             # The tail chunk compiles its own insert (different shape).
             store = insert(store, chunk, lo)
         self._store = store
@@ -118,8 +138,10 @@ class DeviceDataCache:
             partners = np.asarray(
                 [self._dataset._host_rng.integers(0, len(self))
                  for _ in range(len(indices))], np.int32)
-            batch["partner_svbrdf"] = self._gather(
-                self._store, jnp.asarray(partners))["svbrdf"]
+            pg = self._gather(self._store, jnp.asarray(partners))
+            batch["partner_svbrdf"] = pg["svbrdf"]
+            if self._planes:
+                batch["partner_svbrdf_planes"] = pg["svbrdf_planes"]
         return batch
 
     def raw_batch_many(self, index_matrix) -> Dict[str, jnp.ndarray]:
@@ -134,6 +156,8 @@ class DeviceDataCache:
             partners = np.asarray(
                 [self._dataset._host_rng.integers(0, len(self))
                  for _ in range(k * b)], np.int32).reshape(k, b)
-            batch["partner_svbrdf"] = self._gather_many(
-                self._store, jnp.asarray(partners))["svbrdf"]
+            pg = self._gather_many(self._store, jnp.asarray(partners))
+            batch["partner_svbrdf"] = pg["svbrdf"]
+            if self._planes:
+                batch["partner_svbrdf_planes"] = pg["svbrdf_planes"]
         return batch

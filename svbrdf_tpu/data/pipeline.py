@@ -229,19 +229,103 @@ def _decode_u8_svbrdf(sv):
     return jnp.concatenate([f[..., :3] * 2.0 - 1.0, f[..., 3:]], axis=-1)
 
 
+# --- Phase-planes target path (fused-loss fast path) ------------------------
+#
+# The fused mixed loss consumes targets in the Pallas kernel's phase-planes
+# layout, (B, 4*12, H/2, W/2) with plane index = phase*12 + channel
+# (ops/render_pallas.svbrdf_to_phase_planes). Converting the NHWC mixed
+# SVBRDF after the fact costs ~0.5 ms/step on v5e (XLA splits it into eight
+# narrow-channel strided copies around the 4-piece pack concat); mixing IN
+# planes layout instead makes the whole target path one cheap uint8
+# transpose + one fully-fused elementwise decode+mix. The math is
+# op-for-op identical to mix_materials (same alpha draw, same order), so
+# the loss value is unchanged.
+
+
+def _to_phase_planes_any(sv: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) of any dtype -> (B, 4C, H/2, W/2) phase planes,
+    out[b, (a*2+d)*C + c, v, u] = sv[b, 2v+a, 2u+d, c]."""
+    b, hh, ww, c = sv.shape
+    h, w = hh // 2, ww // 2
+    p = sv.reshape(b, h, 2, w, 2, c).transpose(0, 2, 4, 5, 1, 3)
+    return p.reshape(b, 4 * c, h, w)
+
+
+def _decode_planes(planes: jnp.ndarray) -> jnp.ndarray:
+    """uint8 (B, 4, 12, h, w) grouped planes -> decoded float32 (same
+    semantics as _decode_u8_svbrdf, channel axis 2)."""
+    f = planes.astype(jnp.float32) / 255.0
+    return jnp.concatenate([f[:, :, :3] * 2.0 - 1.0, f[:, :, 3:]], axis=2)
+
+
+def _mix_planes(alpha: jnp.ndarray, a: jnp.ndarray,
+                b: jnp.ndarray) -> jnp.ndarray:
+    """mix_materials on (B, 4, 12, h, w) grouped phase planes; alpha (B,).
+    Identical per-element arithmetic (slope-space normal blend + renorm,
+    lerp elsewhere), so values match the NHWC mix bit-for-bit."""
+    al = alpha.reshape(-1, 1, 1, 1, 1)
+    na = a[:, :, :3] / jnp.maximum(0.01, a[:, :, 2:3])
+    nb = b[:, :, :3] / jnp.maximum(0.01, b[:, :, 2:3])
+    n = al * na + (1.0 - al) * nb
+    n = n / jnp.sqrt(jnp.sum(n * n, axis=2, keepdims=True))
+    rest = al * a[:, :, 3:] + (1.0 - al) * b[:, :, 3:]
+    return jnp.concatenate([n, rest], axis=2)
+
+
+def _planes_target(raw_svbrdfs, partner_svbrdfs, alphas):
+    """Phase-planes (B, 48, h, w) f32 target straight from the RAW batch
+    arrays (uint8 fast path or float), bypassing the NHWC mixed tensor.
+
+    Inputs may be spatial (B, H, W, 12) — transposed here — or ALREADY
+    planes (B, 48, h, w), e.g. gathered from the device data cache's
+    planes store (data/device_cache.py), where the transpose happened
+    once at cache build instead of every step."""
+    def grouped(sv):
+        if sv.ndim == 4 and sv.shape[1] == 48 and sv.shape[3] != 12:
+            pl = sv  # already phase planes
+        else:
+            pl = _to_phase_planes_any(sv)
+        b, pc, h, w = pl.shape
+        g = pl.reshape(b, 4, pc // 4, h, w)
+        if sv.dtype != jnp.uint8:
+            return g.astype(jnp.float32)
+        # Pin the transpose-then-decode order: XLA canonicalizes the u8
+        # convert ahead of the transpose, turning a 6 MB uint8 relayout
+        # into 25 MB f32 copies (measured 1.5 ms/step at 256^2 batch 8).
+        g = jax.lax.optimization_barrier(g)
+        return _decode_planes(g)
+
+    a = grouped(raw_svbrdfs)
+    if partner_svbrdfs is None:
+        out = a
+    else:
+        out = _mix_planes(alphas, a, grouped(partner_svbrdfs))
+    b, _, c, h, w = out.shape
+    return out.reshape(b, 4 * c, h, w)
+
+
 @partial(jax.jit, static_argnames=("used_input_image_count",
-                                   "use_augmentation", "is_linear"))
+                                   "use_augmentation", "is_linear",
+                                   "planes_target"))
 def prepare_batch(key, raw_inputs: jnp.ndarray, raw_svbrdfs: jnp.ndarray,
                   partner_svbrdfs=None,
                   used_input_image_count: int = 1,
                   use_augmentation: bool = True,
-                  is_linear: bool = False):
+                  is_linear: bool = False,
+                  planes_target: bool = False,
+                  raw_svbrdf_planes=None,
+                  partner_svbrdf_planes=None):
     """Vectorized per-batch preparation (jit this; it runs on device).
 
     raw_inputs: (B, N_read, H, W, 3); raw_svbrdfs: (B, H, W, 12);
     partner_svbrdfs: (B, H, W, 12) mixing partners or None (host picks the
     random partner FILE, device does the math — reference dataset.py:51-55).
+    planes_target=True adds 'svbrdf_planes' — the (mixed) target in the
+    fused loss kernel's phase-planes layout, computed directly from the
+    raw arrays (see _planes_target; the spatial 'svbrdf' is still returned
+    for input synthesis and non-fused consumers).
     """
+    raw_u8_svbrdfs, raw_u8_partners = raw_svbrdfs, partner_svbrdfs
     if raw_inputs.dtype == jnp.uint8:
         raw_inputs = raw_inputs.astype(jnp.float32) / 255.0
     if raw_svbrdfs.dtype == jnp.uint8:
@@ -252,14 +336,31 @@ def prepare_batch(key, raw_inputs: jnp.ndarray, raw_svbrdfs: jnp.ndarray,
     b = raw_svbrdfs.shape[0]
     keys = jax.random.split(key, b)
 
+    alphas = None
     if partner_svbrdfs is not None:
         mix_keys = jax.random.split(jax.random.fold_in(key, 1), b)
+        # One alpha draw shared by the NHWC mix and the planes-layout mix
+        # (identical to the draw mix_materials would make internally).
+        alphas = jax.vmap(
+            lambda k: jax.random.uniform(k, (), minval=0.1, maxval=0.9))(
+                mix_keys)
         raw_svbrdfs = jax.vmap(mix_materials)(mix_keys, raw_svbrdfs,
-                                              partner_svbrdfs)
+                                              partner_svbrdfs, alphas)
 
     def per_item(k, imgs, sv):
         return prepare_sample(k, imgs, sv, used_input_image_count,
                               use_augmentation, is_linear)
 
     inputs, svbrdfs = jax.vmap(per_item)(keys, raw_inputs, raw_svbrdfs)
-    return {"inputs": inputs, "svbrdf": svbrdfs}
+    out = {"inputs": inputs, "svbrdf": svbrdfs}
+    if planes_target:
+        # Prefer pre-transposed planes stores (device cache) — the
+        # spatial -> planes relayout then never runs per step.
+        src = (raw_svbrdf_planes if raw_svbrdf_planes is not None
+               else raw_u8_svbrdfs)
+        psrc = (partner_svbrdf_planes if partner_svbrdf_planes is not None
+                else raw_u8_partners)
+        if raw_u8_partners is None:
+            psrc = None
+        out["svbrdf_planes"] = _planes_target(src, psrc, alphas)
+    return out

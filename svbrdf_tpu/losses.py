@@ -183,13 +183,21 @@ def make_loss_fn(kind: str = "mixed", renderer: str = "local",
 
                 scenes = sampling.generate_loss_scenes(
                     key, pred.shape[0], 3, 6)
+
                 # (B, 48, h, w) phase-planes vs (B, H, W, 12) NHWC: a
-                # spatial pred always has 12 as its LAST dim.
-                if (pred.ndim == 4 and pred.shape[1] == 48
-                        and pred.shape[3] != 12):
+                # spatial tensor always has 12 as its LAST dim.
+                def is_planes(t):
+                    return (t.ndim == 4 and t.shape[1] == 48
+                            and t.shape[3] != 12)
+
+                if is_planes(pred):
                     pred_t = pred
-                    gt_t = render_pallas.svbrdf_to_phase_planes(
-                        target.astype(pred.dtype))
+                    # Fast path: the prep pipeline already produced the
+                    # target in kernel layout (pipeline._planes_target —
+                    # avoids the NHWC -> planes conversion copies).
+                    gt_t = (target.astype(pred.dtype) if is_planes(target)
+                            else render_pallas.svbrdf_to_phase_planes(
+                                target.astype(pred.dtype)))
                 else:
                     pred_t = pred if pred.ndim == 5 else _to_planes(pred)
                     gt_t = _to_planes(target, pred.dtype)

@@ -249,6 +249,16 @@ def dilate_upsample_kernel(k: jnp.ndarray) -> jnp.ndarray:
 #              (tests/test_spatial_sharding.py) — REQUIRED when sharding
 #              H/W across devices; pass upconv='fold' to the model.
 #   'naive':   materialized upsample + pad + 4x4 conv (reference shape).
+#   'auto':    per-level: 'naive' when the level's input spatial extent is
+#              at or below SVBRDF_UPCONV_AUTO_MAX (default 16), 'dilated'
+#              above. Rationale (v5e profile): the dilated form pays a
+#              PER-KERNEL cost every step — materializing the 5x5 kernel
+#              from the 4x4 param, dgrad's reverse of it, the 5x5 -> 4x4
+#              gradient reduction, and staging copies of the 4-6.5 MB
+#              transformed kernels — which at the deep decoder levels
+#              (1024x512 kernels, <= 32^2 outputs) dwarfs the conv itself,
+#              while the 4x-sized upsampled intermediate 'naive' avoids is
+#              negligible at those sizes. Same parameters either way.
 UPCONV_IMPL = os.environ.get("SVBRDF_UPCONV", "dilated")
 
 
@@ -276,6 +286,10 @@ class FoldedUpConv(nn.Module):
         k = self.param("kernel", conv_kernel_init(),
                        (4, 4, cin, self.features), jnp.float32)
         impl = self.impl or UPCONV_IMPL
+        if impl == "auto":
+            small_max = int(os.environ.get("SVBRDF_UPCONV_AUTO_MAX", "16"))
+            small_impl = os.environ.get("SVBRDF_UPCONV_SMALL", "naive")
+            impl = small_impl if x.shape[1] <= small_max else "dilated"
         if impl == "dilated":
             k5 = dilate_upsample_kernel(k).astype(self.dtype)
             return jax.lax.conv_general_dilated(

@@ -111,8 +111,14 @@ class SingleViewModel(nn.Module):
             # Transpose FIRST (one lane-crossing copy on the 36-channel
             # tensor), then decode on planes at full lane width; the loss
             # kernel grid-indexes the phase cell, so no interleave is ever
-            # materialized on the forward OR backward path.
+            # materialized on the forward OR backward path. The barrier
+            # pins that order: XLA otherwise hoists the f32 tanh ahead of
+            # the transpose, materializing an f32 36-channel tensor + an
+            # f32 relayout instead of one bf16 copy (~0.3 ms/step).
+            import jax
+
             t = sv9.reshape(b, h, w, 4, 9).transpose(0, 3, 4, 1, 2)
+            t = jax.lax.optimization_barrier(t)
             return head_to_svbrdf_planes(t, dtype=self.dtype).reshape(
                 b, 48, h, w)
         if output_layout == "phase":

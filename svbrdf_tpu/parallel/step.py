@@ -30,6 +30,11 @@ class PrepConfig(NamedTuple):
     use_augmentation: bool = True
     is_linear: bool = False
     mix_materials: bool = False
+    # Emit the loss target directly in the fused kernel's phase-planes
+    # layout (set automatically by make_train_step/make_eval_step when the
+    # loss advertises accepts_phase_planes — saves the NHWC -> planes
+    # conversion copies, ~0.5 ms/step at 256^2 batch 8 on v5e).
+    planes_target: bool = False
 
 
 def _prepare(key, raw_batch, prep: PrepConfig):
@@ -41,7 +46,23 @@ def _prepare(key, raw_batch, prep: PrepConfig):
         used_input_image_count=prep.used_input_image_count,
         use_augmentation=prep.use_augmentation,
         is_linear=prep.is_linear,
+        planes_target=prep.planes_target,
+        raw_svbrdf_planes=raw_batch.get("svbrdf_planes"),
+        partner_svbrdf_planes=raw_batch.get("partner_svbrdf_planes"),
     )
+
+
+def _with_planes_target(prep: PrepConfig, phase_kwargs) -> PrepConfig:
+    """Planes targets pair with planes predictions: only when the model
+    emits output_layout='phase_planes' does the fused loss take both sides
+    in the kernel layout. SVBRDF_PLANES_TARGET=0 forces the NHWC target
+    path (A/B lever for the layout experiments in STATUS.md)."""
+    import os
+
+    if os.environ.get("SVBRDF_PLANES_TARGET", "1") == "0":
+        return prep
+    return prep._replace(planes_target=(
+        phase_kwargs.get("output_layout") == "phase_planes"))
 
 
 def make_optimizer(learning_rate: float, model_dtype=None,
@@ -242,6 +263,7 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
     same params."""
 
     phase_kwargs = _phase_kwargs(model, loss_fn)
+    prep = _with_planes_target(prep, phase_kwargs)
 
     master_sr = (master_dtype_policy() == "bf16sr"
                  and getattr(model, "dtype", None) == jnp.bfloat16)
@@ -257,11 +279,13 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
         k_prep, k_drop, k_loss = jax.random.split(key, 3)
         batch = _prepare(k_prep, raw_batch, prep)
 
+        target = batch.get("svbrdf_planes", batch["svbrdf"])
+
         def loss_of(p):
             pred = model.apply({"params": p}, batch["inputs"],
                                deterministic=False,
                                rngs={"dropout": k_drop}, **phase_kwargs)
-            return loss_fn(pred, batch["svbrdf"], k_loss)
+            return loss_fn(pred, target, k_loss)
 
         # Differentiate wrt the bf16 compute tree when carried: the conv
         # weight-grads then arrive in bf16 and the f32 -> bf16 promotion
@@ -386,13 +410,15 @@ def make_eval_step(model, loss_fn: Callable, prep: PrepConfig, mesh=None):
     """Validation step: deterministic model, same loss. Reference main.py:129-147."""
 
     phase_kwargs = _phase_kwargs(model, loss_fn)
+    prep = _with_planes_target(prep, phase_kwargs)
 
     def step(params, raw_batch, key):
         k_prep, k_loss = jax.random.split(key)
         batch = _prepare(k_prep, raw_batch, prep)
         pred = model.apply({"params": params}, batch["inputs"],
                            deterministic=True, **phase_kwargs)
-        return loss_fn(pred, batch["svbrdf"], k_loss)
+        return loss_fn(pred, batch.get("svbrdf_planes", batch["svbrdf"]),
+                       k_loss)
 
     if mesh is None:
         return jax.jit(step)

@@ -70,6 +70,66 @@ class TestMixing:
         norms = jnp.linalg.norm(out[..., 0:3], axis=-1)
         np.testing.assert_allclose(np.asarray(norms), 1.0, atol=1e-5)
 
+    def test_planes_target_matches_spatial_mix(self):
+        """prepare_batch(planes_target=True) returns 'svbrdf_planes' equal
+        to svbrdf_to_phase_planes of the NHWC mixed target — the planes-
+        layout mix is the same arithmetic, just without the conversion
+        copies (pipeline._planes_target)."""
+        from svbrdf_tpu.ops.render_pallas import svbrdf_to_phase_planes
+
+        rng = np.random.default_rng(3)
+        for u8 in (True, False):
+            if u8:
+                sv = rng.integers(0, 256, (2, 16, 16, 12)).astype(np.uint8)
+                partner = rng.integers(0, 256, (2, 16, 16, 12)).astype(
+                    np.uint8)
+            else:
+                sv = np.stack([random_svbrdf(rng, 16, 16)
+                               for _ in range(2)])
+                partner = np.stack([random_svbrdf(rng, 16, 16)
+                                    for _ in range(2)])
+            raw_inputs = np.zeros((2, 0, 16, 16, 3), np.float32)
+            out = pipeline.prepare_batch(
+                jax.random.key(7), raw_inputs, sv, partner,
+                used_input_image_count=1, planes_target=True)
+            assert out["svbrdf_planes"].shape == (2, 48, 8, 8)
+            want = svbrdf_to_phase_planes(out["svbrdf"])
+            np.testing.assert_allclose(np.asarray(out["svbrdf_planes"]),
+                                       np.asarray(want), atol=1e-6)
+
+    def test_planes_target_from_planes_store(self):
+        """Feeding pre-transposed planes raws (the device cache's planes
+        store) produces the same 'svbrdf_planes' as the spatial raws."""
+        rng = np.random.default_rng(6)
+        sv = rng.integers(0, 256, (2, 16, 16, 12)).astype(np.uint8)
+        partner = rng.integers(0, 256, (2, 16, 16, 12)).astype(np.uint8)
+        raw_inputs = np.zeros((2, 0, 16, 16, 3), np.float32)
+        base = pipeline.prepare_batch(
+            jax.random.key(7), raw_inputs, sv, partner,
+            used_input_image_count=1, planes_target=True)
+        pl = pipeline.prepare_batch(
+            jax.random.key(7), raw_inputs, sv, partner,
+            used_input_image_count=1, planes_target=True,
+            raw_svbrdf_planes=pipeline._to_phase_planes_any(
+                jnp.asarray(sv)),
+            partner_svbrdf_planes=pipeline._to_phase_planes_any(
+                jnp.asarray(partner)))
+        np.testing.assert_allclose(np.asarray(pl["svbrdf_planes"]),
+                                   np.asarray(base["svbrdf_planes"]),
+                                   atol=1e-6)
+
+    def test_planes_target_no_partner(self):
+        from svbrdf_tpu.ops.render_pallas import svbrdf_to_phase_planes
+
+        rng = np.random.default_rng(4)
+        sv = rng.integers(0, 256, (2, 16, 16, 12)).astype(np.uint8)
+        out = pipeline.prepare_batch(
+            jax.random.key(9), np.zeros((2, 0, 16, 16, 3), np.float32),
+            sv, None, used_input_image_count=1, planes_target=True)
+        want = svbrdf_to_phase_planes(out["svbrdf"])
+        np.testing.assert_allclose(np.asarray(out["svbrdf_planes"]),
+                                   np.asarray(want), atol=1e-6)
+
     def test_mix_matches_reference(self, reference_modules, toy_data_dir):
         import torch
 

@@ -32,10 +32,34 @@ def test_batches_match_host_pipeline(corpus):
     idx = [3, 0, 4]
     a = host.raw_batch(idx)
     b = cached.raw_batch(idx)
-    assert set(a) == set(b)
+    # The cache additionally serves the pre-transposed planes store.
+    assert set(b) == set(a) | {"svbrdf_planes"}
     for k in a:
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
         assert np.asarray(b[k]).dtype == np.uint8
+
+
+def test_planes_store_matches_transpose(corpus):
+    from svbrdf_tpu.data.pipeline import _to_phase_planes_any
+
+    cached = DeviceDataCache(_dataset(corpus))
+    b = cached.raw_batch([0, 2])
+    want = _to_phase_planes_any(jnp.asarray(b["svbrdf"]))
+    np.testing.assert_array_equal(np.asarray(b["svbrdf_planes"]),
+                                  np.asarray(want))
+    assert np.asarray(b["svbrdf_planes"]).dtype == np.uint8
+
+
+def test_partner_planes_match_partner(corpus):
+    kw = dict(mix_materials=True, input_image_count=0,
+              used_input_image_count=1)
+    from svbrdf_tpu.data.pipeline import _to_phase_planes_any
+
+    cached = DeviceDataCache(_dataset(corpus, **kw))
+    b = cached.raw_batch([1, 3])
+    want = _to_phase_planes_any(jnp.asarray(b["partner_svbrdf"]))
+    np.testing.assert_array_equal(np.asarray(b["partner_svbrdf_planes"]),
+                                  np.asarray(want))
 
 
 def test_mixing_partners_match_host_rng(corpus):

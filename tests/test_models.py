@@ -114,6 +114,28 @@ class TestLayerPrimitives:
         np.testing.assert_allclose(np.asarray(gk_f), np.asarray(gk_n),
                                    rtol=1e-5, atol=1e-4)
 
+    def test_auto_upconv_matches_dilated(self, monkeypatch):
+        """impl='auto' (per-level: 'naive' at small spatial extents,
+        'dilated' above — the v5e default that skips the per-step 5x5
+        kernel materialization at the deep decoder levels) is numerically
+        the same layer: values match 'dilated' at both a small (auto ->
+        naive) and a large (auto -> dilated) spatial size."""
+        monkeypatch.setenv("SVBRDF_UPCONV_AUTO_MAX", "16")
+        rng = np.random.default_rng(11)
+        k = jnp.asarray(
+            (0.1 * rng.standard_normal((4, 4, 3, 8))).astype(np.float32))
+
+        for hw in (8, 32):  # auto -> naive at 8, auto -> dilated at 32
+            x = jnp.asarray(rng.standard_normal(
+                (2, hw, hw, 3)).astype(np.float32))
+            with jax.default_matmul_precision("highest"):
+                auto = L.FoldedUpConv(features=8, impl="auto").apply(
+                    {"params": {"kernel": k}}, x)
+                ref = L.FoldedUpConv(features=8, impl="dilated").apply(
+                    {"params": {"kernel": k}}, x)
+            np.testing.assert_allclose(np.asarray(auto), np.asarray(ref),
+                                       atol=2e-6)
+
     @pytest.mark.parametrize("levels", ["1", "2"])
     def test_phase_tail_matches_plain_generator(self, levels, monkeypatch):
         """Generator(phase_tail=True) == Generator(phase_tail=False) after
