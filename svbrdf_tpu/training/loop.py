@@ -337,12 +337,23 @@ def run_training(args) -> float:
                 fetch = (any((i + j) % log_every == 0 for j in range(k))
                          or i + k >= batch_count)
                 with timer.measure() if fetch else _nullcontext():
-                    params, opt_state, losses = step_k(
-                        params, opt_state, raw,
-                        (root_key, jnp.int32(base)))
+                    if k == 1:
+                        # The k=1 remainder program IS the single-step
+                        # program: plain key, unstacked batch, scalar
+                        # loss. fold_in(root_key, base + 1) is exactly
+                        # the scan body's key for j=0, so the key stream
+                        # stays identical to k sequential steps.
+                        params, opt_state, losses = step_k(
+                            params, opt_state,
+                            jax.tree.map(lambda x: x[0], raw),
+                            jax.random.fold_in(root_key, base + 1))
+                    else:
+                        params, opt_state, losses = step_k(
+                            params, opt_state, raw,
+                            (root_key, jnp.int32(base)))
                     if fetch:
                         losses = np.asarray(
-                            jax.device_get(losses), np.float64)
+                            jax.device_get(losses), np.float64).reshape(-1)
 
                 if profiling and base > 0:
                     jax.profiler.stop_trace()

@@ -105,6 +105,35 @@ def test_rejects_oversized_dataset(corpus):
         DeviceDataCache(_dataset(corpus), max_bytes=1024)
 
 
+def test_chunked_remainder_step(tmp_path):
+    """batch_count % steps_per_call == 1: the final chunk dispatches the
+    SINGLE-step program, which takes a plain key and an unstacked batch.
+    Regression: the scan-tuple key used to be passed through, raising
+    'unexpected PRNG key type tuple' at the end of every epoch whose
+    batch count wasn't a multiple of K (hit 192 steps into the 20k-step
+    corpus run)."""
+    from svbrdf_tpu.cli import parse_args
+    from svbrdf_tpu.data import toy
+    from svbrdf_tpu.training import loop
+
+    d = tmp_path / "data"
+    toy.generate_toy_dataset(str(d), n_train=6, n_test=0, size=16,
+                             n_inputs=0, seed=5)
+    args = parse_args([
+        "--mode", "train", "--input-dir", str(d / "train"),
+        "--image-count", "0", "--used-image-count", "1",
+        "--image-size", "16", "--model-depth", "4", "--num-filters", "4",
+        "--batch-size", "2", "--epochs", "1", "--save-frequency", "999",
+        "--validation-frequency", "999",
+        "--model-dir", str(tmp_path / "m"), "--retrain",
+        "--device-data-cache", "--steps-per-call", "2",
+    ])
+    # 6 samples -> 5.94 -> 5 train? (1% validation) => batch_count 3:
+    # chunks k=2 then k=1 (the remainder program under test).
+    loss = loop.run_training(args)
+    assert np.isfinite(loss)
+
+
 def test_cli_training_with_device_cache(tmp_path, corpus):
     """End-to-end: --device-data-cache through run_training (the 20k-step
     corpus protocol's configuration, at toy scale)."""
