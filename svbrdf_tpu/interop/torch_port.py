@@ -91,7 +91,10 @@ def export_torch_state_dict(flax_params) -> Dict:
     flat = traverse_util.flatten_dict(flax_params)
     out = {}
     for path, val in flat.items():
-        w = np.asarray(val)
+        # bf16-SR master checkpoints (parallel/step.master_dtype_policy)
+        # store >=2-D leaves in bfloat16, which numpy/torch interop does
+        # not round-trip — the reference expects f32 tensors.
+        w = np.asarray(jnp.asarray(val).astype(jnp.float32))
         if path[-1] == "kernel" and w.ndim == 4:
             w = w.transpose(3, 2, 0, 1)  # HWIO -> OIHW
         elif path[-1] == "kernel" and w.ndim == 2:

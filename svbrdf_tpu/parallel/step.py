@@ -99,17 +99,20 @@ def make_optimizer(learning_rate: float, model_dtype=None,
 def master_dtype_policy() -> str:
     """Master-parameter storage policy for bf16 models.
 
-    'f32' (default): f32 masters + a carried bf16 compute-copy tree (exact
-    Adam apply; 640 MB/step of f32 param HBM traffic at 80M params).
-    'bf16sr': >=2-D master leaves stored bf16, updated with STOCHASTIC
-    rounding (unbiased; parallel/optimizer.py) — the params ARE the
-    compute tree, removing the f32 read+write AND the compute-copy write
-    (~0.6 ms/step at 80M params on v5e). 1-D leaves (biases, norm scales)
-    stay f32 either way. Env: SVBRDF_MASTER_DTYPE.
+    'bf16sr' (default): >=2-D master leaves stored bf16, updated with
+    STOCHASTIC rounding (unbiased; parallel/optimizer.py) — the params
+    ARE the compute tree, removing the f32 read+write AND the
+    compute-copy write (~0.3 ms/step at 80M params on v5e). 1-D leaves
+    (biases, norm scales) stay f32. Quality evidence: 200-epoch toy
+    parity vs f32 masters, mean relative loss diff 0.27%, max 1.29%
+    (docs/bf16_parity.md).
+    'f32': f32 masters + a carried bf16 compute-copy tree (exact Adam
+    apply; 640 MB/step of f32 param HBM traffic at 80M params).
+    Env: SVBRDF_MASTER_DTYPE.
     """
     import os
 
-    return os.environ.get("SVBRDF_MASTER_DTYPE", "f32")
+    return os.environ.get("SVBRDF_MASTER_DTYPE", "bf16sr")
 
 
 def master_cast(params, model_dtype):

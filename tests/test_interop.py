@@ -19,6 +19,23 @@ def test_export_port_roundtrip():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_export_casts_bf16_masters_to_f32():
+    """bf16-SR master checkpoints store >=2-D leaves in bfloat16
+    (parallel/step.master_dtype_policy default); the exported state_dict
+    must be f32 for torch/reference interop."""
+    model = SingleViewModel(use_coords=False, num_filters=8, depth=5)
+    params = model.init(jax.random.key(0),
+                        jnp.zeros((1, 32, 32, 3)))["params"]
+    bf16_masters = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params)
+    sd = export_torch_state_dict(bf16_masters)
+    assert all(w.dtype == np.float32 for w in sd.values())
+    back = port_torch_state_dict(sd, params)
+    for a, b in zip(jax.tree.leaves(bf16_masters), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+
+
 def test_export_synthesizes_enc1_merge_weight():
     """The reference model's strict load needs the enc1 merge FC weight it
     always creates but never applies (reference models.py:41-45); the

@@ -344,16 +344,18 @@ class TestPhaseDirectTrainStep:
 
 
 class TestComputeParamCarry:
-    """bf16 models train through carried bf16 compute copies of the f32
-    master params (mixed-precision: bf16 weight-grads, f32 Adam state)."""
+    """bf16 models under the f32-master policy (SVBRDF_MASTER_DTYPE=f32)
+    train through carried bf16 compute copies of the f32 master params
+    (mixed-precision: bf16 weight-grads, f32 Adam state)."""
 
-    def _setup(self, dtype):
+    def _setup(self, dtype, monkeypatch):
         import optax
 
         from svbrdf_tpu import losses
         from svbrdf_tpu.models import SingleViewModel
         from svbrdf_tpu.parallel.step import PrepConfig, make_train_step
 
+        monkeypatch.setenv("SVBRDF_MASTER_DTYPE", "f32")
         model = SingleViewModel(num_filters=4, depth=4, dtype=dtype)
         optimizer = optax.adam(1e-4)
         loss_fn = losses.make_loss_fn("mixed", "local", fused=False)
@@ -369,10 +371,11 @@ class TestComputeParamCarry:
                             jnp.zeros((1, 1, 16, 16, 3)))["params"]
         return step, optimizer, params, raw, key
 
-    def test_bf16_carry_stays_in_sync_and_converges(self):
+    def test_bf16_carry_stays_in_sync_and_converges(self, monkeypatch):
         from svbrdf_tpu.parallel.step import compute_cast
 
-        step, optimizer, params, raw, key = self._setup(jnp.bfloat16)
+        step, optimizer, params, raw, key = self._setup(jnp.bfloat16,
+                                                        monkeypatch)
         assert step._compute_dtype == jnp.bfloat16
         opt_state = optimizer.init(params)
         losses_seen = []
@@ -392,8 +395,9 @@ class TestComputeParamCarry:
             np.testing.assert_array_equal(np.asarray(a, np.float32),
                                           np.asarray(b, np.float32))
 
-    def test_f32_model_has_no_compute_tree(self):
-        step, optimizer, params, raw, key = self._setup(jnp.float32)
+    def test_f32_model_has_no_compute_tree(self, monkeypatch):
+        step, optimizer, params, raw, key = self._setup(jnp.float32,
+                                                        monkeypatch)
         assert step._compute_dtype is None
         opt_state = optimizer.init(params)
         _, _, loss = step(params, opt_state, raw, key)
@@ -471,15 +475,29 @@ class TestBf16SRMasters:
             np.testing.assert_array_equal(np.asarray(a, np.float32),
                                           np.asarray(b, np.float32))
 
-    def test_master_cast_roundtrip_policy_off(self, monkeypatch):
-        """Default policy leaves an f32 tree untouched."""
+    def test_master_cast_under_f32_policy_is_identity(self, monkeypatch):
+        """The f32-master policy leaves an f32 tree untouched."""
         from svbrdf_tpu.parallel import step as step_lib
 
-        monkeypatch.delenv("SVBRDF_MASTER_DTYPE", raising=False)
+        monkeypatch.setenv("SVBRDF_MASTER_DTYPE", "f32")
         tree = {"k": jnp.ones((3, 3)), "b": jnp.ones((3,))}
         out = step_lib.master_cast(tree, jnp.bfloat16)
         assert out["k"].dtype == jnp.float32
         assert out["b"].dtype == jnp.float32
+
+    def test_default_policy_is_bf16sr(self, monkeypatch):
+        """Default (env unset): bf16-SR masters for bf16 models — >=2-D
+        leaves cast to bf16, 1-D leaves left f32; f32 models untouched."""
+        from svbrdf_tpu.parallel import step as step_lib
+
+        monkeypatch.delenv("SVBRDF_MASTER_DTYPE", raising=False)
+        assert step_lib.master_dtype_policy() == "bf16sr"
+        tree = {"k": jnp.ones((3, 3)), "b": jnp.ones((3,))}
+        out = step_lib.master_cast(tree, jnp.bfloat16)
+        assert out["k"].dtype == jnp.bfloat16
+        assert out["b"].dtype == jnp.float32
+        out_f32 = step_lib.master_cast(tree, jnp.float32)
+        assert out_f32["k"].dtype == jnp.float32
 
 
 class TestAutoLayoutStep:
