@@ -123,6 +123,39 @@ def master_cast(params, model_dtype):
     return params
 
 
+def make_derive_fn(model, phase_kwargs):
+    """Pure function params -> tree of transformed conv kernels.
+
+    The decoder's upsample+conv blocks shade with algebraically transformed
+    kernels (dilated 5x5 / phase-folded 3x3 — models/layers.py). Computing
+    the transforms inside the forward re-materializes them every step and
+    XLA stages each fresh tensor into its conv's layout (measured ~0.7 ms
+    of per-step copies at 256^2 on v5e). The train step instead CARRIES
+    the transformed tree as donated state: this derive function rebuilds
+    it from the (updated) compute-dtype params once per optimizer step in
+    the update epilogue, and jax.vjp of it routes the transformed-kernel
+    cotangents back onto the stored 4x4 parameters — the exact chain rule
+    the inline autodiff applied, restructured so the hot convs read a
+    stable buffer.
+
+    Implementation: one apply() with mutable=['derived'] on a minimal
+    dummy input; every transforming module records its transformed kernel
+    (layers.derived_kernel) and XLA dead-code-eliminates the dummy conv
+    work, leaving only the transforms. Returns None when the model has no
+    transformed kernels.
+    """
+    depth = int(getattr(model, "depth", 8))
+    side = 2 ** depth
+
+    def derive(params):
+        dummy = jnp.zeros((1, 1, side, side, 3), jnp.float32)
+        _, out = model.apply({"params": params}, dummy, deterministic=True,
+                             mutable=["derived"], **phase_kwargs)
+        return out.get("derived", {}) or None
+
+    return derive
+
+
 def compute_cast(params, dtype):
     """bf16 'compute copies' of the master params: every >=2-D leaf (conv /
     dense kernels — 99.9% of the bytes) cast to `dtype`; 1-D leaves
@@ -155,7 +188,7 @@ class TrainStep:
     """
 
     def __init__(self, jitted, compute_dtype=None, auto_layout=False,
-                 compute_box=None):
+                 compute_box=None, derive_fn=None, derived_box=None):
         self._jit = jitted
         self._compute_dtype = compute_dtype
         self._auto_layout = auto_layout
@@ -166,19 +199,34 @@ class TrainStep:
         # per-program slot would go stale the moment the other program
         # stepped the params.
         self._compute_box = [None] if compute_box is None else compute_box
+        # Same one-slot sharing for the carried transformed-kernel tree
+        # (make_derive_fn). _derived_box[0] is 'unset' until first use,
+        # then the tree or None (model has no transformed kernels).
+        # _derived_box[1] tracks the params tree the carried state belongs
+        # to (the first leaf of the params THIS step family last returned):
+        # if a caller swaps params externally (fresh init, restored
+        # checkpoint), the carried state is stale and is re-derived.
+        self._derive_fn = derive_fn
+        self._derived_box = (["unset", None] if derived_box is None
+                             else derived_box)
 
     @property
     def state_formats(self):
-        """(params, opt_state, compute) input formats of the compiled
-        program (available once compiled). A sibling program pins its
-        own boundary to these so state never relayouts between programs."""
+        """(params, opt_state, compute, derived) input formats of the
+        compiled program (available once compiled). A sibling program pins
+        its own boundary to these so state never relayouts between
+        programs."""
         if self._compiled is None:
             raise ValueError("step not compiled yet")
-        return tuple(self._compiled.input_formats[0][:3])
+        return tuple(self._compiled.input_formats[0][:4])
 
     @property
     def compute_box(self):
         return self._compute_box
+
+    @property
+    def derived_box(self):
+        return self._derived_box
 
     def _ensure_compute(self, params):
         if self._compute_dtype is not None and self._compute_box[0] is None:
@@ -186,34 +234,58 @@ class TrainStep:
                 params, self._compute_dtype)
         return self._compute_box[0]
 
-    def lower(self, params, opt_state, raw_batch, key):
+    def _ensure_derived(self, params, compute):
+        if self._derive_fn is None:
+            return None
+        if self._derived_box[0] == "unset":
+            self._derived_box[0] = jax.jit(self._derive_fn)(
+                params if compute is None else compute)
+        return self._derived_box[0]
+
+    def _state(self, params):
+        leaves = jax.tree.leaves(params)
+        first = leaves[0] if leaves else None
+        if (self._derived_box[1] is not None
+                and self._derived_box[1] is not first):
+            # Params replaced outside the step family: drop carried state.
+            self._compute_box[0] = None
+            self._derived_box[0] = "unset"
+            self._derived_box[1] = None
         c = self._ensure_compute(params)
-        return self._jit.lower(params, opt_state, c, raw_batch, key)
+        return c, self._ensure_derived(params, c)
+
+    def lower(self, params, opt_state, raw_batch, key):
+        c, d = self._state(params)
+        return self._jit.lower(params, opt_state, c, d, raw_batch, key)
 
     def aot_compile(self, params, opt_state, raw_batch, key):
         """Compile without executing — multi-host runs sync a barrier
         between compilation and first collective execution (loop.py)."""
-        c = self._ensure_compute(params)
-        self._compiled = self._jit.lower(params, opt_state, c, raw_batch,
+        c, d = self._state(params)
+        self._compiled = self._jit.lower(params, opt_state, c, d, raw_batch,
                                          key).compile()
 
     def __call__(self, params, opt_state, raw_batch, key):
-        compute = self._ensure_compute(params)
+        compute, derived = self._state(params)
         if self._auto_layout and self._compiled is None:
             # AUTO-layout lowering needs abstract args (concrete arrays
             # carry a committed layout, which would conflict).
             abstract = jax.tree.map(
                 lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype),
-                (params, opt_state, compute, raw_batch, key))
+                (params, opt_state, compute, derived, raw_batch, key))
             self._compiled = self._jit.lower(*abstract).compile()
             fmts = self._compiled.input_formats[0]
             params = jax.device_put(params, fmts[0])
             opt_state = jax.device_put(opt_state, fmts[1])
             if compute is not None:
                 compute = jax.device_put(compute, fmts[2])
+            if derived is not None:
+                derived = jax.device_put(derived, fmts[3])
         fn = self._compiled if self._compiled is not None else self._jit
-        params, opt_state, self._compute_box[0], loss = fn(
-            params, opt_state, compute, raw_batch, key)
+        params, opt_state, self._compute_box[0], self._derived_box[0], \
+            loss = fn(params, opt_state, compute, derived, raw_batch, key)
+        out_leaves = jax.tree.leaves(params)
+        self._derived_box[1] = out_leaves[0] if out_leaves else None
         return params, opt_state, loss
 
 
@@ -278,24 +350,45 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
                          and not master_sr)
                      else None)
 
-    def one_step(params, opt_state, compute, raw_batch, key):
+    derive_fn = make_derive_fn(model, phase_kwargs)
+
+    def one_step(params, opt_state, compute, derived, raw_batch, key):
         k_prep, k_drop, k_loss = jax.random.split(key, 3)
         batch = _prepare(k_prep, raw_batch, prep)
 
         target = batch.get("svbrdf_planes", batch["svbrdf"])
 
-        def loss_of(p):
-            pred = model.apply({"params": p}, batch["inputs"],
-                               deterministic=False,
-                               rngs={"dropout": k_drop}, **phase_kwargs)
-            return loss_fn(pred, target, k_loss)
-
         # Differentiate wrt the bf16 compute tree when carried: the conv
         # weight-grads then arrive in bf16 and the f32 -> bf16 promotion
         # fuses into Adam's elementwise update (reads halve); without a
         # compute tree this is the plain f32 step.
-        loss, grads = jax.value_and_grad(loss_of)(
-            params if compute is None else compute)
+        ct = params if compute is None else compute
+
+        if derived is None:
+            def loss_of(p):
+                pred = model.apply({"params": p}, batch["inputs"],
+                                   deterministic=False,
+                                   rngs={"dropout": k_drop}, **phase_kwargs)
+                return loss_fn(pred, target, k_loss)
+
+            loss, grads = jax.value_and_grad(loss_of)(ct)
+        else:
+            # Carried transformed-kernel tree (make_derive_fn): the model
+            # reads the transforms from the donated 'derived' buffers; the
+            # chain rule back onto the stored 4x4 params is applied
+            # explicitly — d/dp loss(p, derive(p)) = g_p + derive^T(g_d),
+            # identical math to differentiating the inline transform.
+            def loss_of(p, d):
+                pred = model.apply({"params": p, "derived": d},
+                                   batch["inputs"], deterministic=False,
+                                   rngs={"dropout": k_drop}, **phase_kwargs)
+                return loss_fn(pred, target, k_loss)
+
+            loss, (g_p, g_d) = jax.value_and_grad(
+                loss_of, argnums=(0, 1))(ct, derived)
+            _, pull = jax.vjp(derive_fn, ct)
+            g_extra, = pull(g_d)
+            grads = jax.tree.map(jnp.add, g_p, g_extra)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         if master_sr:
             # p + u under STOCHASTIC rounding for the bf16 master leaves:
@@ -333,80 +426,88 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
                 lambda p, u, c: ((p + u.astype(p.dtype)).astype(c.dtype)
                                  if c.dtype != p.dtype else p + u.astype(p.dtype)),
                 params, updates, compute)
-        return new_params, new_opt_state, new_compute, loss
+        # Refresh the carried transformed kernels from the UPDATED compute
+        # params (write-only: the transforms are recomputed, not patched).
+        new_derived = (None if derived is None else derive_fn(
+            new_params if new_compute is None else new_compute))
+        return new_params, new_opt_state, new_compute, new_derived, loss
 
     if scan_steps > 1:
-        def step(params, opt_state, compute, raw_batches, key_info):
+        def step(params, opt_state, compute, derived, raw_batches, key_info):
             root_key, base_index = key_info
 
             def body(carry, xs):
-                p, o, c = carry
+                p, o, c, d = carry
                 raw, j = xs
                 key = jax.random.fold_in(root_key, base_index + j + 1)
-                p, o, c, loss = one_step(p, o, c, raw, key)
-                return (p, o, c), loss
+                p, o, c, d, loss = one_step(p, o, c, d, raw, key)
+                return (p, o, c, d), loss
 
-            (params, opt_state, compute), losses = jax.lax.scan(
-                body, (params, opt_state, compute),
+            (params, opt_state, compute, derived), losses = jax.lax.scan(
+                body, (params, opt_state, compute, derived),
                 (raw_batches, jnp.arange(scan_steps, dtype=jnp.int32)))
-            return params, opt_state, compute, losses
+            return params, opt_state, compute, derived, losses
     else:
         step = one_step
 
-    donate_args = (0, 1, 2) if donate else ()
+    donate_args = (0, 1, 2, 3) if donate else ()
     if auto_layout is None:
         auto_layout = (jax.default_backend() == "tpu"
                        and jax.process_count() == 1)
     compute_box = (share_compute_with.compute_box
                    if share_compute_with is not None else None)
+    derived_box = (share_compute_with.derived_box
+                   if share_compute_with is not None else None)
+
+    def wrap(jitted, auto=False):
+        return TrainStep(jitted, compute_dtype, auto_layout=auto,
+                         compute_box=compute_box, derive_fn=derive_fn,
+                         derived_box=derived_box)
 
     if mesh is None:
         if state_formats is not None:
-            fp, fo, fc = state_formats
+            fp, fo, fc, fd = state_formats
             jitted = jax.jit(
-                step, in_shardings=(fp, fo, fc, None, None),
-                out_shardings=(fp, fo, fc, None),
+                step, in_shardings=(fp, fo, fc, fd, None, None),
+                out_shardings=(fp, fo, fc, fd, None),
                 donate_argnums=donate_args)
-            return TrainStep(jitted, compute_dtype, compute_box=compute_box)
+            return wrap(jitted)
         if auto_layout:
             from jax.experimental.layout import Format, Layout
 
             auto = Format(Layout.AUTO)
             jitted = jax.jit(
-                step, in_shardings=(auto, auto, auto, None, None),
-                out_shardings=(auto, auto, auto, None),
+                step, in_shardings=(auto, auto, auto, auto, None, None),
+                out_shardings=(auto, auto, auto, auto, None),
                 donate_argnums=donate_args)
-            return TrainStep(jitted, compute_dtype, auto_layout=True,
-                             compute_box=compute_box)
-        return TrainStep(jax.jit(step, donate_argnums=donate_args),
-                         compute_dtype, compute_box=compute_box)
+            return wrap(jitted, auto=True)
+        return wrap(jax.jit(step, donate_argnums=donate_args))
 
     repl = mesh_lib.replicated_sharding(mesh)
     data = (mesh_lib.stacked_batch_sharding(mesh) if scan_steps > 1
             else mesh_lib.batch_sharding(mesh))
     if state_formats is not None:
-        fp, fo, fc = state_formats
+        fp, fo, fc, fd = state_formats
         jitted = jax.jit(step,
-                         in_shardings=(fp, fo, fc, data, repl),
-                         out_shardings=(fp, fo, fc, repl),
+                         in_shardings=(fp, fo, fc, fd, data, repl),
+                         out_shardings=(fp, fo, fc, fd, repl),
                          donate_argnums=donate_args)
-        return TrainStep(jitted, compute_dtype, compute_box=compute_box)
+        return wrap(jitted)
     if auto_layout:
         from jax.experimental.layout import Format, Layout
 
         auto = Format(Layout.AUTO, repl)
         jitted = jax.jit(step,
-                         in_shardings=(auto, auto, auto, data, repl),
-                         out_shardings=(auto, auto, auto, repl),
+                         in_shardings=(auto, auto, auto, auto, data, repl),
+                         out_shardings=(auto, auto, auto, auto, repl),
                          donate_argnums=donate_args)
-        return TrainStep(jitted, compute_dtype, auto_layout=True,
-                         compute_box=compute_box)
-    return TrainStep(jax.jit(
+        return wrap(jitted, auto=True)
+    return wrap(jax.jit(
         step,
-        in_shardings=(repl, repl, repl, data, repl),
-        out_shardings=(repl, repl, repl, repl),
+        in_shardings=(repl, repl, repl, repl, data, repl),
+        out_shardings=(repl, repl, repl, repl, repl),
         donate_argnums=donate_args,
-    ), compute_dtype, compute_box=compute_box)
+    ))
 
 
 def make_eval_step(model, loss_fn: Callable, prep: PrepConfig, mesh=None):
