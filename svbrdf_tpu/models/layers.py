@@ -266,6 +266,63 @@ def dilate_upsample_kernel(k: jnp.ndarray) -> jnp.ndarray:
             + jnp.pad(k, ((1, 0), (1, 0)) + tail))
 
 
+_DILATED_DN = ("NHWC", "HWIO", "NHWC")
+
+
+@jax.custom_vjp
+def _upconv_dilated_direct(x, k4, k5):
+    """lhs-dilated upconv whose BACKWARD computes the 4x4 kernel gradient
+    DIRECTLY, skipping the 5x5 intermediate.
+
+    Forward: identical to the plain dilated conv (reads the carried k5).
+    Backward:
+      - dx: the standard transpose of the dilated conv (bitwise-identical
+        to autodiff of the forward).
+      - dk4: autodiff of the 5x5 form emits a (5,5,Cin,Cout) wgrad, a
+        kernel reverse, and a 5x5 -> 4x4 slice-sum — at the DEEP decoder
+        levels those kernels are 13-26 MB while the activations are tiny,
+        so the kernel-shaped HBM traffic dominates the whole level
+        (measured ~0.2 ms/step across dec8-dec5 at 256^2 on v5e). Here
+        dk4 is the wgrad of the NAIVE upsample+pad+conv form over the
+        materialized upsampled input (< 6 MB at these levels): one conv,
+        16/25 the gradient bytes, no reverse, no reduction. Same chain
+        rule, different summation order (float-level, not value-level,
+        difference from the autodiff path).
+      - dk5: zero (k5 is derived state; its cotangent is routed via dk4).
+
+    Only used when the input spatial extent is at or below
+    SVBRDF_UPCONV_WGRAD_MAX (default 8) — at larger levels the upsampled
+    intermediate outweighs the kernel traffic (see FoldedUpConv).
+    """
+    return jax.lax.conv_general_dilated(
+        x, k5, window_strides=(1, 1), padding=((2, 3), (2, 3)),
+        lhs_dilation=(2, 2), dimension_numbers=_DILATED_DN)
+
+
+def _upconv_dilated_direct_fwd(x, k4, k5):
+    return _upconv_dilated_direct(x, k4, k5), (x, k4, k5)
+
+
+def _upconv_dilated_direct_bwd(res, g):
+    x, k4, k5 = res
+    _, vjp_x = jax.vjp(
+        lambda xx: jax.lax.conv_general_dilated(
+            xx, k5, window_strides=(1, 1), padding=((2, 3), (2, 3)),
+            lhs_dilation=(2, 2), dimension_numbers=_DILATED_DN), x)
+    dx, = vjp_x(g)
+    xup = _pad_1212(upsample_nearest_2x(x))
+    _, vjp_k = jax.vjp(
+        lambda kk: jax.lax.conv_general_dilated(
+            xup, kk, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=_DILATED_DN), k4)
+    dk4, = vjp_k(g)
+    return dx, dk4, jnp.zeros_like(k5)
+
+
+_upconv_dilated_direct.defvjp(_upconv_dilated_direct_fwd,
+                              _upconv_dilated_direct_bwd)
+
+
 # Implementation selector for the decoder's upsample+conv (benchmarked on
 # v5e; all variants are mathematically identical — tests pin equivalence):
 #   'dilated': ONE lhs-dilated conv (dgrad-shaped; no upsampled
@@ -325,6 +382,13 @@ class FoldedUpConv(nn.Module):
             k5 = derived_kernel(
                 self, "kernel_t",
                 lambda: dilate_upsample_kernel(k).astype(self.dtype))
+            # Threshold measured on v5e at 256^2/b8: 4 (dec8-dec6) beats 8
+            # (10.26 vs 10.39 ms) — at dec5 the 19x19x1024 upsampled
+            # intermediate already outweighs the 13 MB kernel traffic.
+            wgrad_max = int(os.environ.get("SVBRDF_UPCONV_WGRAD_MAX", "4"))
+            if x.shape[1] <= wgrad_max:
+                return _upconv_dilated_direct(
+                    x.astype(self.dtype), k.astype(self.dtype), k5)
             return jax.lax.conv_general_dilated(
                 x.astype(self.dtype), k5, window_strides=(1, 1),
                 padding=((2, 3), (2, 3)), lhs_dilation=(2, 2),
