@@ -87,6 +87,24 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Model compute dtype (params stay float32). "
                         "'auto' = bfloat16 on TPU, float32 elsewhere — the "
                         "same configuration bench.py measures.")
+    p.add_argument("--master-dtype", dest="master_dtype",
+                   choices=["auto", "f32", "bf16sr"], default="auto",
+                   help="Master-parameter storage policy for bf16 models "
+                        "(changes the trained artifact: 'bf16sr' stores "
+                        ">=2-D leaves bf16, updated with stochastic "
+                        "rounding; 'f32' keeps f32 masters). 'auto' = "
+                        "SVBRDF_MASTER_DTYPE env var, default bf16sr "
+                        "(parity evidence: docs/bf16_parity.md). Recorded "
+                        "in the checkpoint and restored on resume.")
+    p.add_argument("--upconv", dest="upconv",
+                   choices=["auto", "dilated", "fold", "naive"],
+                   default="auto",
+                   help="Decoder upsample+conv rewrite (all exact-"
+                        "equivalent; models/layers.UPCONV_IMPL): 'dilated' "
+                        "is fastest on one chip, 'fold' is REQUIRED for "
+                        "spatial (H-axis) sharding. 'auto' = SVBRDF_UPCONV "
+                        "env var, default dilated. Recorded in the "
+                        "checkpoint and restored on resume.")
     p.add_argument("--num-devices", dest="num_devices", type=int, default=0,
                    help="Devices in the data mesh (0 = all).")
     p.add_argument("--device-data-cache", dest="device_data_cache",

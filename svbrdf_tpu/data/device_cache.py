@@ -58,8 +58,21 @@ class DeviceDataCache:
         # relayout at all (~0.8 ms/step of uint8 copies at 256^2 batch 8).
         h, w, c = s0.shape
         self._planes = planes and h % 2 == 0 and w % 2 == 0
+        base_bytes = sum(int(np.prod(s)) for s in shapes.values())
         if self._planes:
-            shapes["svbrdf_planes"] = (n, 4 * c, h // 2, w // 2)
+            planes_shape = (n, 4 * c, h // 2, w // 2)
+            # The planes store is an OPTIMIZATION (+~50% of svbrdf bytes);
+            # when it alone would blow the budget, drop it with a note
+            # instead of failing a corpus that fits without it — the
+            # training step falls back to per-step transposes.
+            if base_bytes + int(np.prod(planes_shape)) > max_bytes:
+                print(f"DeviceDataCache: dropping the planes store "
+                      f"({int(np.prod(planes_shape)) / 1e9:.1f} GB) to fit "
+                      f"the {max_bytes / 1e9:.1f} GB budget; targets will "
+                      f"be transposed per step")
+                self._planes = False
+            else:
+                shapes["svbrdf_planes"] = planes_shape
         self.nbytes = sum(int(np.prod(s)) for s in shapes.values())
         if self.nbytes > max_bytes:
             raise ValueError(

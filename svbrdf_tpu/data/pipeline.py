@@ -281,7 +281,7 @@ def _planes_target(raw_svbrdfs, partner_svbrdfs, alphas):
     planes store (data/device_cache.py), where the transpose happened
     once at cache build instead of every step."""
     def grouped(sv):
-        if sv.ndim == 4 and sv.shape[1] == 48 and sv.shape[3] != 12:
+        if codecs.is_phase_planes(sv):  # raises on the ambiguous shape
             pl = sv  # already phase planes
         else:
             pl = _to_phase_planes_any(sv)

@@ -25,15 +25,22 @@ from svbrdf_tpu.scene import Scene
 
 def fixed_scene_rendering_loss(pred: jnp.ndarray, target: jnp.ndarray,
                                scenes: Scene,
-                               render_fn=None) -> jnp.ndarray:
+                               render_fn=None, key=None) -> jnp.ndarray:
     """log-L1 rendering loss under a FIXED scene batch (no sampling).
 
     Equivalent of the notebook FixedSceneLoss (website.ipynb): scenes have
-    (S, 3) fields, svbrdfs are single samples (H, W, 12).
+    (S, 3) fields, svbrdfs are single samples (H, W, 12). A `key` gives a
+    stochastic renderer fresh per-call MC samples (shared between pred and
+    target — common random numbers); key=None keeps the renderer's fixed
+    default pattern.
     """
     render_fn = render_fn or render.render
-    pred_r = render_fn(scenes, pred[None])
-    target_r = render_fn(scenes, target[None])
+    if key is not None and losses._render_fn_accepts_key(render_fn):
+        pred_r = render_fn(scenes, pred[None], key=key)
+        target_r = render_fn(scenes, target[None], key=key)
+    else:
+        pred_r = render_fn(scenes, pred[None])
+        target_r = render_fn(scenes, target[None])
     return losses.l1_loss(jnp.log(pred_r + losses.EPSILON_RENDER),
                           jnp.log(target_r + losses.EPSILON_RENDER))
 
@@ -92,9 +99,12 @@ def recover_maps(key, target_svbrdf: jnp.ndarray,
 
     def loss_of(free, step_key):
         pred = assemble(free)
+        # A stochastic renderer gets fresh MC samples each step (derived
+        # from step_key without perturbing the scene stream).
+        render_key = jax.random.fold_in(step_key, losses._RENDER_KEY_TAG)
         if scenes is not None:
             return fixed_scene_rendering_loss(pred, target_svbrdf, scenes,
-                                              render_fn)
+                                              render_fn, key=render_key)
         step_scenes = sampling.generate_loss_scenes(
             step_key, 1, n_random=n_scenes // 2,
             n_specular=n_scenes - n_scenes // 2)
@@ -102,7 +112,7 @@ def recover_maps(key, target_svbrdf: jnp.ndarray,
                      light_pos=step_scenes.light_pos[0],
                      light_color=step_scenes.light_color[0])
         return fixed_scene_rendering_loss(pred, target_svbrdf, flat,
-                                          render_fn)
+                                          render_fn, key=render_key)
 
     @jax.jit
     def step(free, opt_state, step_key):

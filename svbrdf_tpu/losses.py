@@ -50,6 +50,25 @@ def svbrdf_l1_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 RenderFn = Callable[[Scene, jnp.ndarray], jnp.ndarray]
 
+# fold_in tag deriving the per-step renderer sampling key from the loss
+# key WITHOUT perturbing the scene-sampling stream (ASCII "REND").
+_RENDER_KEY_TAG = 0x52454E44
+
+
+def _render_fn_accepts_key(render_fn) -> bool:
+    """True if a renderer-protocol fn takes the optional per-call sampling
+    `key` kwarg. All in-tree renderers do; user-supplied plain
+    (scene, svbrdf) closures keep working without one."""
+    import inspect
+
+    try:
+        params = inspect.signature(render_fn).parameters
+    except (TypeError, ValueError):  # builtins / odd callables
+        return False
+    return ("key" in params
+            or any(p.kind is inspect.Parameter.VAR_KEYWORD
+                   for p in params.values()))
+
 
 @partial(jax.jit, static_argnames=("render_fn", "n_random", "n_specular"))
 def rendering_loss(pred: jnp.ndarray, target: jnp.ndarray, key,
@@ -61,7 +80,16 @@ def rendering_loss(pred: jnp.ndarray, target: jnp.ndarray, key,
     `key` and both SVBRDFs are rendered under them (reference
     losses.py:21-52, scene counts losses.py:26-27). render_fn defaults to
     the in-network Cook-Torrance renderer; the path tracer plugs in through
-    the same (Scene, svbrdf) -> radiance protocol.
+    the same (Scene, svbrdf[, key]) -> radiance protocol.
+
+    Stochastic renderers get a per-call sampling key folded in from the
+    loss key, so every training step sees fresh MC samples — the
+    reference's Redner behavior (renderers.py:265 draws new samples per
+    call). One deliberate improvement over the reference: pred and target
+    share the per-step sample pattern (common random numbers), which keeps
+    the gradient estimator unbiased while letting the loss reach 0 at
+    pred == target; Redner's independent draws leave an irreducible MC
+    noise floor in the loss.
     """
     if render_fn is None:
         render_fn = render.render
@@ -69,8 +97,13 @@ def rendering_loss(pred: jnp.ndarray, target: jnp.ndarray, key,
     scenes = sampling.generate_loss_scenes(key, batch_size,
                                            n_random, n_specular)
     # (B, S, H, W, 3) each — scenes broadcast against svbrdf[:, None].
-    pred_r = render_fn(scenes, pred[:, None])
-    target_r = render_fn(scenes, target[:, None])
+    if _render_fn_accepts_key(render_fn):
+        render_key = jax.random.fold_in(key, _RENDER_KEY_TAG)
+        pred_r = render_fn(scenes, pred[:, None], key=render_key)
+        target_r = render_fn(scenes, target[:, None], key=render_key)
+    else:
+        pred_r = render_fn(scenes, pred[:, None])
+        target_r = render_fn(scenes, target[:, None])
     return l1_loss(jnp.log(pred_r + EPSILON_RENDER),
                    jnp.log(target_r + EPSILON_RENDER))
 
@@ -184,11 +217,10 @@ def make_loss_fn(kind: str = "mixed", renderer: str = "local",
                 scenes = sampling.generate_loss_scenes(
                     key, pred.shape[0], 3, 6)
 
-                # (B, 48, h, w) phase-planes vs (B, H, W, 12) NHWC: a
-                # spatial tensor always has 12 as its LAST dim.
-                def is_planes(t):
-                    return (t.ndim == 4 and t.shape[1] == 48
-                            and t.shape[3] != 12)
+                # (B, 48, h, w) phase-planes vs (B, H, W, 12) NHWC —
+                # codecs.is_phase_planes raises on the one ambiguous shape
+                # instead of silently computing a wrong loss.
+                is_planes = codecs.is_phase_planes
 
                 if is_planes(pred):
                     pred_t = pred

@@ -19,7 +19,8 @@ from flax import linen as nn
 
 from svbrdf_tpu.models import layers as L
 from svbrdf_tpu.models.generator import Generator
-from svbrdf_tpu.models.single_view import head_to_svbrdf
+from svbrdf_tpu.models.single_view import (head_to_svbrdf,
+                                           head_to_svbrdf_planes)
 
 
 class MultiViewModel(nn.Module):
@@ -32,6 +33,7 @@ class MultiViewModel(nn.Module):
     upconv: str = ""
 
     supports_phase_output = True
+    supports_phase_planes_output = True
 
     @nn.compact
     def __call__(self, images, deterministic: bool = True,
@@ -84,6 +86,20 @@ class MultiViewModel(nn.Module):
                                        name="conv3")(x, g)
 
         b, h, w, _ = x.shape
+        if output_layout == "phase_planes":
+            # Training hot path (mirrors SingleViewModel's phase-tail
+            # branch): ONE lane-crossing transpose on the 36-channel head
+            # tensor, then tanh+decode at full lane width on planes; the
+            # fused mixed loss grid-indexes the phase cell, so no
+            # interleave is materialized forward or backward. The barrier
+            # pins the transpose-then-decode order against XLA hoisting
+            # the f32 tanh ahead of the transpose.
+            import jax
+
+            t = x.reshape(b, h, w, 4, 9).transpose(0, 3, 4, 1, 2)
+            t = jax.lax.optimization_barrier(t)
+            return head_to_svbrdf_planes(t, dtype=self.dtype).reshape(
+                b, 48, h, w)
         if output_layout == "phase":
             # Compute-dtype maps for the fused loss (see SingleViewModel):
             # halves the phase->planes transpose + kernel IO at bf16; the

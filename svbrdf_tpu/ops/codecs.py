@@ -130,3 +130,26 @@ def crop_square(images: jnp.ndarray, anchor, size: int) -> jnp.ndarray:
     starts[-3], starts[-2] = row, col
     sizes[-3], sizes[-2] = size, size
     return lax.dynamic_slice(images, starts, sizes)
+
+
+def is_phase_planes(t) -> bool:
+    """True if t is a phase-planes (B, 48, h, w) SVBRDF tensor rather than
+    spatial NHWC (B, H, W, 12).
+
+    The two layouts are shape-distinguishable except for one corner:
+    (B, 48, x, 12) reads as BOTH NHWC with H=48 and planes of a 24-px-wide
+    input. That shape raises instead of silently guessing — a wrong guess
+    computes a wrong loss (the producers — parallel/step, data/pipeline —
+    always know the real layout and avoid the corner by construction).
+    """
+    if t.ndim != 4:
+        return False
+    planes_like = t.shape[1] == 48
+    nhwc_like = t.shape[-1] == 12
+    if planes_like and nhwc_like:
+        raise ValueError(
+            f"ambiguous SVBRDF layout for shape {tuple(t.shape)}: both "
+            "NHWC (H=48, C=12) and phase-planes (48 planes of a 24-px-wide "
+            "input) fit. Use an unambiguous spatial size or convert "
+            "explicitly (ops.render_pallas.svbrdf_to_phase_planes).")
+    return planes_like

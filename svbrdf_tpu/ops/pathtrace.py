@@ -59,8 +59,16 @@ def _light_frame(light_pos):
     return n, t, b
 
 
-def _stratified_offsets(key, spp: int) -> jnp.ndarray:
-    """(spp, 2) jittered-stratified samples in [-0.5, 0.5]^2."""
+def _stratified_offsets(key, spp: int,
+                        batch_shape: Tuple[int, ...] = ()) -> jnp.ndarray:
+    """(spp,) + batch_shape + (2,) jittered-stratified samples in
+    [-0.5, 0.5]^2.
+
+    The jitter is drawn independently per batch element (scene / batch
+    item), so MC noise is decorrelated across the whole scene batch —
+    matching Redner, which draws fresh samples inside every render call
+    (reference renderers.py:265), instead of one shared pattern.
+    """
     side = max(1, int(math.isqrt(spp)))
     # Fill any non-square remainder with pure random samples.
     n_strat = side * side
@@ -69,11 +77,14 @@ def _stratified_offsets(key, spp: int) -> jnp.ndarray:
     base = jnp.stack(jnp.meshgrid(
         (jnp.arange(side) + 0.5) * cell - 0.5,
         (jnp.arange(side) + 0.5) * cell - 0.5,
-        indexing="ij"), axis=-1).reshape(-1, 2)
-    jitter = (jax.random.uniform(ks, (n_strat, 2)) - 0.5) * cell
+        indexing="ij"), axis=-1).reshape(
+            (n_strat,) + (1,) * len(batch_shape) + (2,))
+    jitter = (jax.random.uniform(ks, (n_strat,) + batch_shape + (2,))
+              - 0.5) * cell
     samples = base + jitter
     if spp > n_strat:
-        extra = jax.random.uniform(kr, (spp - n_strat, 2)) - 0.5
+        extra = jax.random.uniform(
+            kr, (spp - n_strat,) + batch_shape + (2,)) - 0.5
         samples = jnp.concatenate([samples, extra], axis=0)
     return samples
 
@@ -154,11 +165,25 @@ def _shade(scene: Scene, svbrdf: jnp.ndarray, key, spp: int) -> jnp.ndarray:
     emission = color / area  # L_e chosen so the A->0 limit matches a point
     # light of the same intensity (see module docstring).
 
-    offsets = _stratified_offsets(key, spp)  # (spp, 2)
+    batch_shape = jnp.broadcast_shapes(scene.camera_pos.shape[:-1],
+                                       scene.light_pos.shape[:-1],
+                                       scene.light_color.shape[:-1],
+                                       svbrdf.shape[:-3])
+    k_off, k_px = jax.random.split(key)
+    # Independent stratified offsets per scene/batch element ...
+    offsets = _stratified_offsets(k_off, spp, batch_shape)
+    # ... plus a per-PIXEL Cranley-Patterson rotation: each pixel
+    # toroidally shifts the shared stratified pattern by its own uniform,
+    # decorrelating MC noise across pixels while preserving both the
+    # stratification and unbiasedness (the shift is modulo the unit
+    # square, so each sample stays uniform over its stratum's torus).
+    shift = jax.random.uniform(k_px, batch_shape + (height, width, 2))
 
     def sample_contrib(offset):
-        q = (light + offset[0] * LIGHT_SIZE[0] * t_l
-             + offset[1] * LIGHT_SIZE[1] * b_l)
+        u = offset[..., None, None, :] + 0.5 + shift
+        u = u - jnp.floor(u) - 0.5
+        q = (light + u[..., 0:1] * LIGHT_SIZE[0] * t_l
+             + u[..., 1:2] * LIGHT_SIZE[1] * b_l)
         rel = q - coords
         dist_sq = dot(rel, rel)
         wi = rel / jnp.sqrt(dist_sq)
@@ -231,21 +256,32 @@ def render(scene: Scene, svbrdf: jnp.ndarray, key=None,
 
 
 def make_render_fn(spp: Tuple[int, int] = (16, 8), seed: int = 0):
-    """Renderer-protocol closure with a fixed sample-pattern key."""
+    """Renderer-protocol closure: `render_fn(scene, svbrdf, key=None)`.
+
+    With key=None every call reuses the fixed seed's sample pattern
+    (legacy deterministic behavior). Callers that thread a per-call key
+    (the rendering loss folds its per-step loss key in) get FRESH MC
+    samples every call — matching Redner, which draws new samples inside
+    each render invocation (reference renderers.py:265) — while staying
+    bitwise-reproducible under a fixed run seed.
+    """
     base_key = jax.random.key(seed)
 
-    def render_fn(scene: Scene, svbrdf: jnp.ndarray) -> jnp.ndarray:
-        return _render_mc(scene, svbrdf, base_key, spp[0], spp[1])
+    def render_fn(scene: Scene, svbrdf: jnp.ndarray,
+                  key=None) -> jnp.ndarray:
+        k = base_key if key is None else jax.random.fold_in(key, seed)
+        return _render_mc(scene, svbrdf, k, spp[0], spp[1])
 
     return render_fn
 
 
 class PathTracingRenderer:
-    """Protocol-compatible wrapper (`render(scene, svbrdf)`), mirroring the
-    reference RednerRenderer interface (renderers.py:175,211)."""
+    """Protocol-compatible wrapper (`render(scene, svbrdf[, key])`),
+    mirroring the reference RednerRenderer interface (renderers.py:175,211)."""
 
     def __init__(self, spp: Tuple[int, int] = (16, 8), seed: int = 0):
         self._fn = make_render_fn(spp, seed)
 
-    def render(self, scene: Scene, svbrdf: jnp.ndarray) -> jnp.ndarray:
-        return self._fn(scene, svbrdf)
+    def render(self, scene: Scene, svbrdf: jnp.ndarray,
+               key=None) -> jnp.ndarray:
+        return self._fn(scene, svbrdf, key=key)

@@ -111,13 +111,17 @@ def evaluate_brdf(wi, wo, normals, diffuse, roughness, specular):
     return _diffuse_term(diffuse, F) + spec_term
 
 
-def render(scene: Scene, svbrdf: jnp.ndarray) -> jnp.ndarray:
+def render(scene: Scene, svbrdf: jnp.ndarray, key=None) -> jnp.ndarray:
     """Render the patch under a (batch of) point-light scene(s).
 
     Args:
       scene: fields of shape (..., 3), broadcastable against svbrdf's
         leading axes (e.g. scene (B, S, 3) with svbrdf (B, 1, H, W, 12)).
       svbrdf: (..., H, W, 12) channels-last packed SVBRDF.
+      key: ignored — the analytic point-light renderer is deterministic.
+        Present so every renderer shares the uniform protocol
+        `render_fn(scene, svbrdf, key=None)` (the path tracer consumes it
+        for per-call MC sample decorrelation).
 
     Returns:
       Linear radiance, (..., H, W, 3). Reference renderers.py:67-104.
@@ -161,5 +165,6 @@ class LocalRenderer:
     selects a renderer by name; the pure function `render` is the real API.
     """
 
-    def render(self, scene: Scene, svbrdf: jnp.ndarray) -> jnp.ndarray:
+    def render(self, scene: Scene, svbrdf: jnp.ndarray,
+               key=None) -> jnp.ndarray:
         return render(scene, svbrdf)

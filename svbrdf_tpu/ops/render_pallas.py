@@ -727,19 +727,25 @@ def _mixed_grid_call(kernel_fn, pred_t, gt_t, scenes9, row_off,
 
     pred_t/gt_t: (B, 12, H, W) full-res planes (fold=1) or (B, 48, h, w)
     phase-planes (fold=2; plane (a*2+d)*12 + c holds map c of phase cell
-    (a, d) at half resolution). height/width passed to the kernel and the
-    loss normalizers are always FULL resolution."""
+    (a, d) at half resolution). row_off and global_height arrive in GRID
+    units (the tensor's own row units: full-res for fold=1, half-res for
+    fold=2 — mixed_loss_fused_planes converts from its public full-res
+    convention); height/width passed to the kernel and the loss
+    normalizers are always FULL resolution, global when sharded."""
     batch, _, gh, gw = pred_t.shape
     height, width = fold * gh, fold * gw
+    # Sharded callers (global_height != 0) shade with GLOBAL coordinates:
+    # the kernel's height sets the y normalization of the patch grid.
+    full_height = fold * global_height if global_height else height
     n_h = gh // tile_h
     n_w = gw // tile_w
     cells = fold * fold
     inv_render = 1.0 / _count(batch, scenes9.shape[1], height, width,
                               fold * global_height)
-    inv_l1 = 1.0 / (batch * (fold * global_height or height) * width * 3)
+    inv_l1 = 1.0 / (batch * full_height * width * 3)
     kernel = functools.partial(
-        kernel_fn, tile_h=tile_h, tile_w=tile_w, height=height, width=width,
-        n_scenes=scenes9.shape[1], l1_weight=l1_weight,
+        kernel_fn, tile_h=tile_h, tile_w=tile_w, height=full_height,
+        width=width, n_scenes=scenes9.shape[1], l1_weight=l1_weight,
         inv_render=inv_render, inv_l1=inv_l1, fold=fold)
     svbrdf_spec = pl.BlockSpec((1, 12, tile_h, tile_w),
                                lambda b, cell, h, w: (b, cell, h, w),
@@ -832,6 +838,14 @@ def mixed_loss_fused_planes(pred_t: jnp.ndarray, gt_t: jnp.ndarray,
     l1_weight * losses.svbrdf_l1_loss + losses.rendering_loss for the same
     scenes (tested); the gradient comes out of ONE fused kernel with the
     L1 term folded in. Reference semantics: losses.py:54-63 (MixedLoss).
+
+    Sharded (H-split shard_map) callers pass row_offset (this shard's
+    first row) and global_height in FULL-RESOLUTION pixel units for every
+    pred layout — phase-planes included (converted to half-res grid units
+    internally; both are necessarily even there, since planes shards hold
+    whole half-res rows). The per-shard value is pre-normalized by the
+    GLOBAL pixel count, so psum(local) == the replicated loss
+    (tests/test_spatial_sharding.py pins this for planes and phase-planes).
     """
     gt_t = jax.lax.stop_gradient(gt_t)
     scenes9 = pack_scenes(scenes)
@@ -852,12 +866,21 @@ def mixed_loss_fused_planes(pred_t: jnp.ndarray, gt_t: jnp.ndarray,
     if gh % th or gw % tw:
         raise ValueError(
             f"tile ({th}, {tw}) must divide the plane grid ({gh}, {gw})")
+    fold = 2 if pred_kind == "pp" else 1
+    if int(global_height) % fold:
+        raise ValueError(
+            f"global_height ({global_height}) must be even for "
+            "phase-planes predictions (full-res units; shards hold whole "
+            "half-res rows)")
     if row_offset is None:
         row_offset = jnp.zeros((1, 1), jnp.int32)
     else:
-        row_offset = jnp.asarray(row_offset, jnp.int32).reshape(1, 1)
+        # Public convention: full-res pixel units. The kernel grid runs in
+        # the tensor's own (half-res for 'pp') row units.
+        row_offset = jnp.asarray(row_offset, jnp.int32).reshape(1, 1) // fold
     return _fused_mixed(pred_t, gt_t, scenes9, row_offset, th, tw,
-                        float(l1_weight), int(global_height), pred_kind)
+                        float(l1_weight), int(global_height) // fold,
+                        pred_kind)
 
 
 def svbrdf_to_phase_planes(svbrdf: jnp.ndarray) -> jnp.ndarray:

@@ -63,17 +63,30 @@ def sr_bf16(x: jnp.ndarray, salt: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(hi, jnp.bfloat16)
 
 
+def _moment_dtype(p) -> jnp.dtype:
+    """bf16 moments only for >=2-D leaves (conv/FC kernels — where the
+    bandwidth lives); 1-D biases/norm scales keep f32 moments, mirroring
+    the master-dtype policy's >=2-D rule (parallel/step.master_cast): the
+    bandwidth win on 1-D leaves is negligible while their second moments
+    would take SR noise for nothing."""
+    return jnp.bfloat16 if jnp.ndim(p) >= 2 else jnp.float32
+
+
 def scale_by_adam_bf16sr(b1: float = 0.9, b2: float = 0.999,
                          eps: float = 1e-8) -> optax.GradientTransformation:
     """optax.scale_by_adam with mu stored bf16 (round-to-nearest — its 10%
     -scale increments are representable) and nu stored bf16 via stochastic
-    rounding (unbiased EMA). All arithmetic runs in f32."""
+    rounding (unbiased EMA), for >=2-D leaves (_moment_dtype); all
+    arithmetic runs in f32."""
 
     def init(params):
+        def zeros(p):
+            return jnp.zeros(jnp.shape(p), _moment_dtype(p))
+
         return optax.ScaleByAdamState(
             count=jnp.zeros([], jnp.int32),
-            mu=jax.tree.map(lambda p: jnp.zeros_like(p, jnp.bfloat16), params),
-            nu=jax.tree.map(lambda p: jnp.zeros_like(p, jnp.bfloat16), params),
+            mu=jax.tree.map(zeros, params),
+            nu=jax.tree.map(zeros, params),
         )
 
     def update(updates, state, params=None):
@@ -87,7 +100,9 @@ def scale_by_adam_bf16sr(b1: float = 0.9, b2: float = 0.999,
             mu32 = mu.astype(jnp.float32) * b1 + g32 * (1.0 - b1)
             nu32 = nu.astype(jnp.float32) * b2 + g32 * g32 * (1.0 - b2)
             u = (mu32 / bc1) / (jnp.sqrt(nu32 / bc2) + eps)
-            return u, mu32.astype(jnp.bfloat16), sr_bf16(nu32, salt)
+            nu_out = (sr_bf16(nu32, salt) if nu.dtype == jnp.bfloat16
+                      else nu32.astype(nu.dtype))
+            return u, mu32.astype(mu.dtype), nu_out
 
         leaves, treedef = jax.tree.flatten(updates)
         mu_l = treedef.flatten_up_to(state.mu)

@@ -96,6 +96,22 @@ def make_optimizer(learning_rate: float, model_dtype=None,
     return optax.adam(learning_rate)
 
 
+# Process-level policy override (set by the CLI's --master-dtype flag or a
+# checkpoint's recorded policy); None = fall back to the env var.
+_MASTER_DTYPE_OVERRIDE = None
+
+
+def set_master_dtype_policy(policy) -> None:
+    """Set the process-wide master-dtype policy explicitly ('f32' |
+    'bf16sr'; None restores env-var control). Used by the CLI flag
+    --master-dtype and by checkpoint restore (the policy is recorded in
+    the checkpoint meta — it changes the trained artifact's leaf dtypes)."""
+    global _MASTER_DTYPE_OVERRIDE
+    if policy not in (None, "f32", "bf16sr"):
+        raise ValueError(f"unknown master dtype policy '{policy}'")
+    _MASTER_DTYPE_OVERRIDE = policy
+
+
 def master_dtype_policy() -> str:
     """Master-parameter storage policy for bf16 models.
 
@@ -108,10 +124,12 @@ def master_dtype_policy() -> str:
     (docs/bf16_parity.md).
     'f32': f32 masters + a carried bf16 compute-copy tree (exact Adam
     apply; 640 MB/step of f32 param HBM traffic at 80M params).
-    Env: SVBRDF_MASTER_DTYPE.
+    CLI: --master-dtype (set_master_dtype_policy). Env: SVBRDF_MASTER_DTYPE.
     """
     import os
 
+    if _MASTER_DTYPE_OVERRIDE is not None:
+        return _MASTER_DTYPE_OVERRIDE
     return os.environ.get("SVBRDF_MASTER_DTYPE", "bf16sr")
 
 

@@ -186,6 +186,16 @@ class Checkpoint:
         for extra in ("model_depth", "num_filters"):
             if extra in self._meta:
                 setattr(args, extra, self._meta[extra])
+        # Promoted config knobs (VERDICT r3 #7). Unlike the architecture
+        # args above, an EXPLICIT CLI value beats the checkpoint here:
+        # cross-policy restore is supported (master leaves re-cast,
+        # upconv impls share the same 4x4 param layout), so the recorded
+        # values only fill in when the CLI left the flag at 'auto'.
+        for knob in ("master_dtype", "upconv"):
+            if (knob in self._meta
+                    and getattr(args, knob, "auto") in ("auto", None)):
+                setattr(args, knob, self._meta[knob])
+                print(f"Restored {knob} '{self._meta[knob]}'")
         return args
 
     def restore_params(self, params):

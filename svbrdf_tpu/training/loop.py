@@ -27,6 +27,7 @@ import optax
 from svbrdf_tpu import losses as losses_lib
 from svbrdf_tpu.data.dataset import SvbrdfDataset, split_train_validation
 from svbrdf_tpu.models import build_model
+from svbrdf_tpu.models import layers as layers_mod
 from svbrdf_tpu.parallel import make_mesh, mesh as mesh_lib
 from svbrdf_tpu.parallel import step as step_lib
 from svbrdf_tpu.parallel.step import (PrepConfig, make_eval_step,
@@ -102,10 +103,21 @@ def setup(args, mesh=None):
     if checkpoint.is_valid() or checkpoint._meta:
         args = checkpoint.restore_args(args)
 
+    # Promoted config knobs (VERDICT r3 #7): the CLI flags (or the values
+    # restored from the checkpoint meta) take precedence over the
+    # SVBRDF_MASTER_DTYPE / SVBRDF_UPCONV env vars.
+    master_dtype = getattr(args, "master_dtype", "auto")
+    # 'auto' RESETS to env-var control so back-to-back runs in one process
+    # (tests, notebooks) don't inherit a previous run's explicit policy.
+    step_lib.set_master_dtype_policy(
+        None if master_dtype in ("auto", None) else master_dtype)
+    upconv = getattr(args, "upconv", "auto")
+
     model = build_model(args.model_type, use_coords=args.use_coords,
                         dtype=resolve_dtype(args.dtype),
                         depth=getattr(args, "model_depth", 8),
-                        num_filters=getattr(args, "num_filters", 64))
+                        num_filters=getattr(args, "num_filters", 64),
+                        upconv="" if upconv in ("auto", None) else upconv)
 
     root_key = jax.random.key(args.seed)
     params = _init_params(model, args, jax.random.fold_in(root_key, 0))
@@ -295,6 +307,12 @@ def run_training(args) -> float:
                         extra_meta={
                             "model_depth": getattr(args, "model_depth", 8),
                             "num_filters": getattr(args, "num_filters", 64),
+                            # Reproducibility-critical knobs (VERDICT r3
+                            # #7): the EFFECTIVE policies this run trained
+                            # with — restored by restore_args on resume
+                            # when the CLI leaves them at 'auto'.
+                            "master_dtype": step_lib.master_dtype_policy(),
+                            "upconv": (model.upconv or layers_mod.UPCONV_IMPL),
                         })
 
     print(f"Training from epoch {epoch_start} to {args.epochs}")

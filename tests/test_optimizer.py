@@ -106,6 +106,26 @@ def test_state_structure_matches_adam():
     assert s_sr[0].nu["w"].dtype == jnp.bfloat16
 
 
+def test_one_d_leaves_keep_f32_moments():
+    """Moments are bf16 only for >=2-D leaves; 1-D biases/norm scales keep
+    f32 moments (mirroring the master-dtype policy's >=2-D rule) — their
+    bandwidth is negligible and SR noise on them buys nothing."""
+    params = {"w": jnp.ones((4, 4), jnp.float32),
+              "b": jnp.ones((4,), jnp.float32)}
+    opt = adam_bf16sr(1e-3)
+    state = opt.init(params)
+    assert state[0].mu["w"].dtype == jnp.bfloat16
+    assert state[0].nu["w"].dtype == jnp.bfloat16
+    assert state[0].mu["b"].dtype == jnp.float32
+    assert state[0].nu["b"].dtype == jnp.float32
+    g = jax.tree.map(lambda p: jnp.full_like(p, 1e-3), params)
+    _, new_state = opt.update(g, state)
+    assert new_state[0].nu["b"].dtype == jnp.float32
+    # the 1-D nu update is exact f32 (no SR noise)
+    np.testing.assert_allclose(np.asarray(new_state[0].nu["b"]),
+                               1e-6 * (1 - 0.999) * np.ones(4), rtol=1e-6)
+
+
 def test_make_optimizer_selection():
     assert make_optimizer(1e-5, jnp.float32, "f32")
     opt = make_optimizer(1e-5, jnp.bfloat16, "bf16sr")

@@ -223,3 +223,98 @@ def test_plugs_into_rendering_loss():
     fn = losses.make_loss_fn("rendering", "pathtracing")
     loss = fn(a, b, jax.random.key(0))
     assert np.isfinite(float(loss)) and float(loss) > 0.0
+
+
+class TestSampleDecorrelation:
+    """VERDICT r3 #3: the MC estimator draws fresh samples per call when a
+    key is threaded through the renderer protocol, independently per scene
+    and per pixel, while staying reproducible under a fixed seed."""
+
+    def _setup(self):
+        rng = np.random.default_rng(7)
+        sv = jnp.asarray(random_svbrdf(rng, 8, 8))
+        scene = Scene.make([0.0, -1.0, 2.0], [0.2, 0.3, 2.0], [50.0] * 3)
+        return scene, sv
+
+    def test_fresh_samples_per_key(self):
+        scene, sv = self._setup()
+        fn = pathtrace.make_render_fn(spp=(4, 2))
+        a = fn(scene, sv, key=jax.random.key(1))
+        b = fn(scene, sv, key=jax.random.key(2))
+        assert float(jnp.max(jnp.abs(a - b))) > 0.0
+
+    def test_same_key_bitwise_reproducible(self):
+        scene, sv = self._setup()
+        fn = pathtrace.make_render_fn(spp=(4, 2))
+        a = fn(scene, sv, key=jax.random.key(5))
+        b = fn(scene, sv, key=jax.random.key(5))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_offsets_decorrelated_across_scene_batch(self):
+        offs = pathtrace._stratified_offsets(jax.random.key(0), 4, (3,))
+        assert offs.shape == (4, 3, 2)
+        # independent jitter per scene/batch element
+        assert not np.allclose(np.asarray(offs[:, 0]),
+                               np.asarray(offs[:, 1]))
+        # stratification preserved: all samples stay in [-0.5, 0.5]^2
+        assert float(jnp.max(jnp.abs(offs))) <= 0.5 + 1e-6
+
+    def test_identical_scenes_in_batch_get_independent_noise(self):
+        _, sv = self._setup()
+        pos = jnp.broadcast_to(jnp.array([0.0, -1.0, 2.0]), (2, 3))
+        scenes = Scene(camera_pos=pos, light_pos=pos,
+                       light_color=jnp.full((2, 3), 50.0))
+        out = pathtrace.render(scenes, sv[None], key=jax.random.key(6),
+                               spp=(2, 2))
+        # two IDENTICAL scenes: values differ only through per-scene
+        # sample decorrelation
+        assert float(jnp.max(jnp.abs(out[0] - out[1]))) > 0.0
+
+    def test_per_pixel_decorrelation(self):
+        """The spp=1 residual against a high-spp estimate must be
+        spatially white (per-pixel Cranley-Patterson rotation), not the
+        smooth bias field a pattern shared by all pixels produces."""
+        from svbrdf_tpu.ops import codecs
+
+        h = w = 16
+        flat_n = jnp.concatenate(
+            [jnp.zeros((h, w, 2)), jnp.ones((h, w, 1))], axis=-1)
+        sv = codecs.pack_svbrdf(flat_n, jnp.full((h, w, 3), 0.8),
+                                jnp.full((h, w, 3), 0.5),
+                                jnp.zeros((h, w, 3)))
+        scene = Scene.make([0.0, 0.0, 2.0], [0.0, 0.0, 1.0], [30.0] * 3)
+        noisy = np.asarray(pathtrace.render(scene, sv,
+                                            key=jax.random.key(3),
+                                            spp=(1, 1)))
+        clean = np.asarray(pathtrace.render(scene, sv,
+                                            key=jax.random.key(4),
+                                            spp=(1024, 1)))
+        resid = (noisy - clean)[..., 0]
+        assert resid.std() > 0.0
+        a = resid[:, :-1].ravel() - resid[:, :-1].mean()
+        b = resid[:, 1:].ravel() - resid[:, 1:].mean()
+        lag1 = float((a * b).mean() / (a.std() * b.std() + 1e-12))
+        # shared-sample noise would correlate ~0.99 between neighbors
+        assert abs(lag1) < 0.5, lag1
+
+    def test_rendering_loss_threads_render_key(self):
+        """The per-step loss key must reach the MC sampler: the keyed
+        tracer gives a different loss than a key-blind wrapper of the SAME
+        tracer under the SAME loss key (identical scene stream)."""
+        from svbrdf_tpu import losses
+
+        rng = np.random.default_rng(8)
+        a = jnp.asarray(random_svbrdf(rng, 8, 8, batch=(1,)))
+        b = jnp.asarray(random_svbrdf(rng, 8, 8, batch=(1,)))
+        base = pathtrace.make_render_fn(spp=(4, 2))
+
+        def key_blind(scene, svbrdf):
+            return base(scene, svbrdf)
+
+        k = jax.random.key(9)
+        keyed = losses.rendering_loss(a, b, k, render_fn=base)
+        fixed = losses.rendering_loss(a, b, k, render_fn=key_blind)
+        assert float(keyed) != float(fixed)
+        # determinism: same step key -> bitwise same loss
+        again = losses.rendering_loss(a, b, k, render_fn=base)
+        assert float(keyed) == float(again)

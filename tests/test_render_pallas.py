@@ -170,6 +170,27 @@ def test_model_phase_planes_output_matches_spatial():
         rtol=1e-6, atol=1e-6)
 
 
+def test_multiview_phase_planes_output_matches_spatial():
+    """MultiViewModel(output_layout='phase_planes') is a pure relayout of
+    its spatial output (VERDICT r3 #4: the multi-view model gets the same
+    fused-loss fast path as the single-view model)."""
+    from svbrdf_tpu.models import MultiViewModel
+
+    model = MultiViewModel(use_coords=False, depth=4, num_filters=8,
+                           generator_output_channels=16)
+    imgs = jnp.asarray(np.random.default_rng(5).uniform(
+        0, 1, (1, 3, 16, 16, 3)).astype(np.float32))
+    params = model.init(jax.random.key(0), jnp.zeros((1, 3, 16, 16, 3)))
+    spatial = model.apply(params, imgs, deterministic=True)
+    pp = model.apply(params, imgs, deterministic=True,
+                     output_layout="phase_planes")
+    assert pp.shape == (1, 48, 8, 8)
+    np.testing.assert_allclose(
+        np.asarray(pp),
+        np.asarray(render_pallas.svbrdf_to_phase_planes(spatial)),
+        rtol=1e-6, atol=1e-6)
+
+
 def test_mixed_fused_gradients_match_unfused(case):
     """The single-kernel mixed loss (L1 folded in, combined gradient)
     matches the unfused l1 + rendering composition's pred gradients."""

@@ -123,6 +123,52 @@ class TestSpatialModule:
         np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_base),
                                    atol=2e-5)
 
+    def test_sharded_mixed_planes_full_res_units(self):
+        """mixed_loss_fused_planes under H-split shard_map: row_offset and
+        global_height are FULL-RES pixel units for BOTH the planes and the
+        phase-planes pred layouts (ADVICE r3: the half-res 'pp' convention
+        was undocumented and unexercised); psum(local) == replicated, and
+        the sharded kernels shade with GLOBAL coordinates."""
+        try:
+            from jax import shard_map
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+        from svbrdf_tpu.ops import render_pallas
+        from svbrdf_tpu.parallel import spatial
+
+        n = 4
+        mesh = spatial.make_spatial_mesh(n_devices=n)
+        assert mesh.devices.size == n
+        rng = np.random.default_rng(7)
+        H = 32
+        pred = jnp.asarray(random_svbrdf(rng, H, H, batch=(2,)))
+        target = jnp.asarray(random_svbrdf(rng, H, H, batch=(2,)))
+        scenes = sampling.generate_loss_scenes(jax.random.key(8), 2, 2, 2)
+
+        cases = {
+            "planes": (jnp.transpose(pred, (0, 3, 1, 2)),
+                       jnp.transpose(target, (0, 3, 1, 2))),
+            "pp": (render_pallas.svbrdf_to_phase_planes(pred),
+                   render_pallas.svbrdf_to_phase_planes(target)),
+        }
+        for name, (pred_t, gt_t) in cases.items():
+            base = render_pallas.mixed_loss_fused_planes(
+                pred_t, gt_t, scenes, 0.1)
+
+            def local(p_l, g_l, sc):
+                # full-res row offset regardless of layout
+                row0 = jax.lax.axis_index(spatial.SPACE_AXIS) * (H // n)
+                val = render_pallas.mixed_loss_fused_planes(
+                    p_l, g_l, sc, 0.1, row_offset=row0, global_height=H)
+                return jax.lax.psum(val, spatial.SPACE_AXIS)
+
+            sp = P(None, None, spatial.SPACE_AXIS)
+            sharded = jax.jit(shard_map(
+                local, mesh=mesh, in_specs=(sp, sp, P()), out_specs=P(),
+                check_vma=False))(pred_t, gt_t, scenes)
+            np.testing.assert_allclose(float(sharded), float(base),
+                                       rtol=5e-5, err_msg=name)
+
     def test_spatial_train_step_matches_replicated(self):
         """The FULL H-sharded train step (fold upconv + shard_mapped fused
         loss + Adam) produces the same params as an identically-seeded

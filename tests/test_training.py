@@ -48,6 +48,41 @@ class TestCheckpoint:
         assert args.model_type == "multi"
         assert args.use_coords is True
 
+    def test_promoted_knobs_round_trip(self, tmp_path):
+        """--master-dtype / --upconv are recorded in the checkpoint meta
+        and restored on resume when the CLI leaves them at 'auto'; an
+        EXPLICIT CLI value beats the checkpoint (cross-policy restore is
+        supported). VERDICT r3 #7."""
+        import argparse
+
+        Checkpoint.save(tmp_path / "ckpt", self._tree()["params"], None,
+                        epoch=1, model_type="single", use_coords=False,
+                        extra_meta={"master_dtype": "f32",
+                                    "upconv": "fold"})
+        ck = Checkpoint.load(tmp_path / "ckpt")
+
+        args = argparse.Namespace(model_type="single", use_coords=False,
+                                  master_dtype="auto", upconv="auto")
+        args = ck.restore_args(args)
+        assert args.master_dtype == "f32"
+        assert args.upconv == "fold"
+
+        explicit = argparse.Namespace(model_type="single", use_coords=False,
+                                      master_dtype="bf16sr",
+                                      upconv="dilated")
+        explicit = ck.restore_args(explicit)
+        assert explicit.master_dtype == "bf16sr"
+        assert explicit.upconv == "dilated"
+
+    def test_cli_exposes_promoted_knobs(self):
+        from svbrdf_tpu.cli import parse_args
+
+        args = parse_args(["--mode", "test", "--input-dir", "x",
+                           "--image-count", "1", "--model-dir", "y",
+                           "--master-dtype", "f32", "--upconv", "fold"])
+        assert args.master_dtype == "f32"
+        assert args.upconv == "fold"
+
     def test_omit_optimizer_state(self, tmp_path):
         Checkpoint.save(tmp_path / "ckpt", self._tree()["params"],
                         {"something": jnp.ones(2)}, epoch=0,
