@@ -107,6 +107,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "checkpoint and restored on resume.")
     p.add_argument("--num-devices", dest="num_devices", type=int, default=0,
                    help="Devices in the data mesh (0 = all).")
+    p.add_argument("--shard-spatial", dest="shard_spatial", type=int,
+                   default=0,
+                   help="Shard the image HEIGHT axis over N devices "
+                        "(spatial SPMD; activations sharded, params "
+                        "replicated, fused loss shard_mapped with exact "
+                        "psum'd values). For inputs too large for one "
+                        "chip. Forces upconv='fold' and f32 masters; "
+                        "requires the local renderer and a rendering-"
+                        "based loss. 0 = off (batch data parallelism).")
     p.add_argument("--device-data-cache", dest="device_data_cache",
                    action="store_true", default=False,
                    help="Decode the whole dataset once and keep it in "

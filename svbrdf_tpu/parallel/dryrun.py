@@ -64,13 +64,34 @@ def force_virtual_cpu(n_devices: int) -> None:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
-def run(n_devices: int) -> float:
-    """One sharded train step on an n-device mesh; returns the loss.
+def _dryrun_batch(batch, size):
+    import jax.numpy as jnp
 
-    Tiny shapes (depth-5 U-Net at 32x32, ngf=8) but the REAL program
-    structure: on-device data prep (mix + synthesis + augmentation), model
-    fwd/bwd, mixed rendering loss, Adam, batch sharded over the `data`
-    axis with replicated params.
+    images = jnp.zeros((batch, 0, size, size, 3), jnp.float32)
+    svbrdf = jnp.concatenate(
+        [jnp.zeros((batch, size, size, 2)),
+         jnp.ones((batch, size, size, 1)),
+         jnp.full((batch, size, size, 9), 0.5)], axis=-1).astype(jnp.float32)
+    return {"inputs": images, "svbrdf": svbrdf,
+            "partner_svbrdf": svbrdf[::-1]}
+
+
+def run(n_devices: int) -> float:
+    """The REAL sharded training programs on an n-device mesh.
+
+    Tiny shapes (depth-5 U-Net at 32x32, ngf=8) but the program structures
+    users actually run (VERDICT r3 #5):
+
+    1. the single-step batch-DP program — on-device data prep (mix +
+       synthesis + augmentation), model fwd/bwd, mixed rendering loss,
+       Adam, batch sharded over the `data` axis with replicated params;
+    2. the K-step `lax.scan` train program (the --device-data-cache /
+       --steps-per-call dispatch the corpus-scale runs use), same mesh;
+    3. one spatially-sharded (H-axis shard_map) train step with the FUSED
+       Pallas mixed loss (interpret mode off-TPU) — the --shard-spatial
+       program.
+
+    Returns the single-step loss.
     """
     import jax
     import jax.numpy as jnp
@@ -100,14 +121,7 @@ def run(n_devices: int) -> float:
     batch = max(n_devices, 2)
     size = 32
     key = jax.random.key(0)
-    images = jnp.zeros((batch, 0, size, size, 3), jnp.float32)
-    svbrdf = jnp.concatenate(
-        [jnp.zeros((batch, size, size, 2)),
-         jnp.ones((batch, size, size, 1)),
-         jnp.full((batch, size, size, 9), 0.5)], axis=-1).astype(jnp.float32)
-    raw = {"inputs": images, "svbrdf": svbrdf,
-           "partner_svbrdf": svbrdf[::-1]}
-    raw = mesh_lib.shard_batch(raw, mesh)
+    raw = mesh_lib.shard_batch(_dryrun_batch(batch, size), mesh)
 
     params = model.init(jax.random.fold_in(key, 1),
                         jnp.zeros((1, 1, size, size, 3)))["params"]
@@ -116,11 +130,70 @@ def run(n_devices: int) -> float:
     params = jax.device_put(params, repl)
     opt_state = jax.device_put(opt_state, repl)
 
-    params, opt_state, loss = step(params, opt_state, raw, key)
+    # --- program 1: single-step batch-DP ---
+    params1, opt_state1, loss = step(params, opt_state, raw, key)
     loss = float(loss)
     assert jnp.isfinite(loss), f"non-finite dryrun loss: {loss}"
-    print(f"dryrun_multichip({n_devices}): one sharded train step OK, "
-          f"loss={loss:.4f}")
+    print(f"dryrun_multichip({n_devices}): batch-DP single-step program "
+          f"OK, loss={loss:.4f}")
+
+    # --- program 2: K-step lax.scan train program ---
+    k_steps = 3
+    scan_step = make_train_step(model, optimizer, loss_fn, prep, mesh,
+                                donate=False, scan_steps=k_steps)
+    stacked = jax.device_put(
+        jax.tree.map(lambda x: jnp.stack([x] * k_steps),
+                     _dryrun_batch(batch, size)),
+        mesh_lib.stacked_batch_sharding(mesh))
+    _, _, losses_k = scan_step(params, opt_state, stacked,
+                               (key, jnp.int32(0)))
+    import numpy as np
+
+    losses_k = np.asarray(jax.device_get(losses_k))
+    assert losses_k.shape == (k_steps,)
+    assert np.isfinite(losses_k).all(), losses_k
+    print(f"dryrun_multichip({n_devices}): {k_steps}-step scan program "
+          f"OK, losses={[round(float(l), 4) for l in losses_k]}")
+
+    run_spatial(n_devices)
+    return loss
+
+
+def run_spatial(n_devices: int) -> float:
+    """One H-sharded (shard_map) train step with the fused Pallas mixed
+    loss on a `space` mesh — the --shard-spatial program."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from svbrdf_tpu.models import SingleViewModel
+    from svbrdf_tpu.parallel import spatial as spatial_lib
+
+    mesh = spatial_lib.make_spatial_mesh(n_devices=n_devices)
+    assert mesh.devices.size == n_devices
+
+    size = 32
+    model = SingleViewModel(use_coords=False, num_filters=8, depth=5,
+                            upconv="fold")
+    optimizer = optax.adam(1e-5)
+    step = spatial_lib.make_spatial_train_step(model, optimizer, mesh,
+                                               n_random=1, n_specular=2)
+    key = jax.random.key(2)
+    params = model.init(jax.random.fold_in(key, 1),
+                        jnp.zeros((1, 1, size, size, 3)))["params"]
+    batch = {
+        "inputs": jnp.full((2, 1, size, size, 3), 0.5, jnp.float32),
+        "svbrdf": jnp.concatenate(
+            [jnp.zeros((2, size, size, 2)),
+             jnp.ones((2, size, size, 1)),
+             jnp.full((2, size, size, 9), 0.5)], axis=-1).astype(
+                 jnp.float32),
+    }
+    _, _, loss = step(params, optimizer.init(params), batch, key)
+    loss = float(loss)
+    assert jnp.isfinite(loss), f"non-finite spatial dryrun loss: {loss}"
+    print(f"dryrun_multichip({n_devices}): spatial (H-sharded shard_map + "
+          f"fused Pallas loss) train step OK, loss={loss:.4f}")
     return loss
 
 

@@ -211,6 +211,12 @@ def _make_training_mesh(batch_size: int, n_avail: int):
 
 
 def run_training(args) -> float:
+    if int(getattr(args, "shard_spatial", 0) or 0) > 0:
+        # H-axis SPMD driver (inputs too large for one chip's activation
+        # memory) — training/spatial_loop.py, VERDICT r3 #5.
+        from svbrdf_tpu.training.spatial_loop import run_training_spatial
+
+        return run_training_spatial(args)
     n_avail = (args.num_devices if args.num_devices > 0
                else len(jax.devices()))
     mesh = _make_training_mesh(args.batch_size, n_avail)

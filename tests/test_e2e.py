@@ -81,6 +81,26 @@ def test_toy_train_resume_and_test(tmp_path, toy_data_dir):
     assert summary["mean"]["rendering_rmse"] < 2.5
 
 
+def test_spatial_sharded_training_runs(tmp_path, toy_data_dir):
+    """--shard-spatial N drives H-axis SPMD end-to-end from the CLI
+    (VERDICT r3 #5): sharded training step, checkpoint + logs written,
+    the forced fold upconv and f32-master policy recorded in the meta."""
+    import json
+
+    model_dir = tmp_path / "model_spatial"
+    args = _args(toy_data_dir, model_dir,
+                 extra=["--shard-spatial", "2", "--image-size", "16",
+                        "--model-depth", "4", "--num-filters", "4",
+                        "--epochs", "1"])
+    loss = loop.run_training(args)
+    assert np.isfinite(loss)
+    assert (model_dir / "state").exists()
+    assert any((model_dir / "logs").iterdir())
+    meta = json.loads((model_dir / "meta.json").read_text())
+    assert meta["upconv"] == "fold"
+    assert meta["master_dtype"] == "f32"
+
+
 @pytest.mark.slow
 def test_multiview_training_runs(tmp_path, toy_data_dir):
     """Config-3 path: multi-view model (3 views) with the mixed loss."""
