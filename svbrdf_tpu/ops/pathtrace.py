@@ -272,6 +272,9 @@ def make_render_fn(spp: Tuple[int, int] = (16, 8), seed: int = 0):
         k = base_key if key is None else jax.random.fold_in(key, seed)
         return _render_mc(scene, svbrdf, k, spp[0], spp[1])
 
+    # Explicit protocol declaration: the rendering loss threads a per-step
+    # key for fresh MC samples (losses._render_fn_accepts_key).
+    render_fn.accepts_key = True
     return render_fn
 
 

