@@ -30,14 +30,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Persistent compile cache: a prewarm run during the round makes the
-# driver's bench run compile-from-cache (the first 256^2 compile through
-# the tunneled chip can exceed the driver's timeout on its own).
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                 "/tmp/jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# The persistent compile cache is UNSAFE for TPU programs on this
+# backend: restoring entries poisons later custom-layout compiles and
+# executions (measured: every bench run against a warm /tmp/jax_cache
+# failed — layout-check mismatches or InvalidArgument at execution —
+# while the identical code against an empty cache passes; four morning
+# successes turned into consistent failures purely as the cache filled).
+# Enable it only off-TPU; on TPU every program compiles fresh, and the
+# build cost is held down by fusing state construction into one program
+# (utils/bench_setup.py).
+if jax.default_backend() != "tpu":
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 BASELINE_STEP_MS = 18000.0  # reference: ~1 h/epoch at ~197 steps/epoch
 BASELINE_PATHTRACE_MS = 155000.0  # reference: ~8.5 h/epoch (docs:1002)

@@ -17,6 +17,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from svbrdf_tpu.data import pipeline
@@ -116,6 +117,24 @@ from contextlib import contextmanager
 
 
 @contextmanager
+def _no_persistent_cache():
+    """Temporarily disable JAX's persistent compilation cache.
+
+    Programs with custom (AUTO-chosen or requested) layouts restored from
+    that cache carry wrong layout behavior on the tunneled TPU backend —
+    see TrainStep._compile_auto_layout. Programs compiled in this scope
+    are always fresh and never stored."""
+    cache_on = jax.config.jax_enable_compilation_cache
+    if cache_on:
+        jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        yield
+    finally:
+        if cache_on:
+            jax.config.update("jax_enable_compilation_cache", True)
+
+
+@contextmanager
 def master_dtype_scope():
     """Scope the process-wide master-dtype override to a run.
 
@@ -205,6 +224,57 @@ def compute_cast(params, dtype):
         lambda x: x.astype(dtype) if jnp.ndim(x) >= 2 else x, params)
 
 
+def _relayout_best_effort(tree, formats):
+    """Bring the leaves of `tree` to the target `formats` (layout AND
+    sharding — the program's input_formats; the state may arrive
+    unsharded and must land on the program's mesh like the layouts).
+
+    Returns (new_tree, n_failed). Requested layouts are silently dropped
+    for a subset of leaves by both jax.device_put(x, Format) and jitted
+    identities on this stack — partly a dispatch-cache collision between
+    jit calls sharing the same function object but different
+    out_shardings (reproduced deterministically), partly layouts the
+    transfer path simply refuses to materialize (reproduced: a
+    bf16[4,4,128,9] conv kernel cannot be brought to the (1,3,0,2)
+    major_to_minor the AUTO-layout program asks for, by any mechanism).
+    Defense: whole-tree relayout from a FRESH lambda (its own cache
+    identity), verify each leaf's resulting layout metadata, retry
+    stragglers per-leaf (fresh lambda, then device_put), and REPORT
+    what could not be applied — the caller falls back to recompiling the
+    program against the layouts the state actually has."""
+    if tree is None:
+        return None, 0
+
+    def ok(x, f):
+        return (x.format.layout == f.layout
+                and x.sharding.is_equivalent_to(f.sharding, x.ndim))
+
+    out = jax.jit(lambda t: jax.lax.optimization_barrier(t),
+                  out_shardings=formats)(tree)
+    failed = [0]
+
+    def fix(x, f):
+        if ok(x, f):
+            return x
+        y = jax.jit(lambda v: jax.lax.optimization_barrier(v),
+                    out_shardings=f)(x)
+        if not ok(y, f):
+            y = jax.device_put(x, f)
+        if not ok(y, f):
+            # The backend refused this layout. Worse, an array that went
+            # through a refused relayout can be CORRUPT (metadata and
+            # bytes disagree; executing with it raises InvalidArgument
+            # deep in the backend) — rematerialize a clean default-layout
+            # copy through the host (refused leaves are small conv
+            # kernels; a one-time host round-trip is cheap) on the
+            # required SHARDING and let the caller recompile against it.
+            failed[0] += 1
+            return jax.device_put(np.asarray(x), f.sharding)
+        return y
+
+    return jax.tree.map(fix, out, formats), failed[0]
+
+
 class TrainStep:
     """Callable train step owning its compile strategy and (for bf16
     models) the carried compute-param tree.
@@ -226,11 +296,16 @@ class TrainStep:
     """
 
     def __init__(self, jitted, compute_dtype=None, auto_layout=False,
-                 compute_box=None, derive_fn=None, derived_box=None):
+                 compute_box=None, derive_fn=None, derived_box=None,
+                 rebuild=None):
         self._jit = jitted
         self._compute_dtype = compute_dtype
         self._auto_layout = auto_layout
         self._compiled = None
+        # rebuild(state_formats) -> a fresh jit of the same step with the
+        # state in/out shardings pinned to explicit Formats — the fallback
+        # when the backend cannot materialize the AUTO program's layouts.
+        self._rebuild = rebuild
         # The carried compute tree lives in a shared one-slot box so that
         # programs of different chunk sizes (the K-step scan program and
         # its remainder-chunk sibling) always see the CURRENT tree — a
@@ -303,25 +378,127 @@ class TrainStep:
         self._compiled = self._jit.lower(params, opt_state, c, d, raw_batch,
                                          key).compile()
 
+    def _compile_auto_layout(self, params, opt_state, compute, derived,
+                             raw_batch, key):
+        """Compile (or exec-cache-load) the AUTO-layout program; sets
+        self._compiled and returns the 4 state-arg input Layout trees.
+
+        AUTO-layout lowering needs abstract args (concrete arrays carry a
+        committed layout, which would conflict). The program is ALWAYS
+        compiled fresh, never through JAX's persistent compilation cache:
+        executables RESTORED from that cache carry unreliable
+        custom-layout behavior on the tunneled TPU backend (measured with
+        a warm /tmp/jax_cache: the restored program's input_formats
+        disagree with the layouts the executable actually requires), and
+        jax.experimental.serialize_executable round-trips fail outright at
+        execution (InvalidArgument) — fresh compiles are the only
+        trustworthy source of both the executable and its input formats.
+        """
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype),
+            (params, opt_state, compute, derived, raw_batch, key))
+        lowered = self._jit.lower(*abstract)
+        with _no_persistent_cache():
+            self._compiled = lowered.compile()
+        return self._compiled.input_formats[0][:4]
+
+    def _rebuild_with_formats(self, state_formats, params, opt_state,
+                              compute, derived, raw_batch, key):
+        """Compile the step pinned to explicit state Formats (the layouts
+        the state arrays actually hold) — see __call__'s fallback."""
+        if self._rebuild is None:
+            raise RuntimeError(
+                "AUTO-layout relayout failed and this TrainStep has no "
+                "rebuild closure to pin explicit state formats")
+        jitted = self._rebuild(state_formats)
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype),
+            (params, opt_state, compute, derived, raw_batch, key))
+        return jitted.lower(*abstract).compile()
+
+    def _first_call_auto(self, params, opt_state, compute, derived,
+                         raw_batch, key):
+        """First invocation of the AUTO-layout program, validated.
+
+        Compiles with compiler-chosen state layouts, relayouts the state
+        into them (see _relayout_best_effort for the backend's layout
+        hazards), recompiles against the materialized layouts when the
+        backend refuses some, then runs the first step and FORCES the
+        async error barrier — this backend has been observed to
+        intermittently break custom-layout execution entirely (an
+        InvalidArgument surfacing only at the next host fetch), and the
+        first call is the one place a failure can still be recovered: the
+        caller falls back to default layouts with the pre-relayout state."""
+        state_formats = self._compile_auto_layout(
+            params, opt_state, compute, derived, raw_batch, key)
+        with _no_persistent_cache():
+            failures = 0
+            params, f = _relayout_best_effort(params, state_formats[0])
+            failures += f
+            opt_state, f = _relayout_best_effort(opt_state,
+                                                 state_formats[1])
+            failures += f
+            compute, f = _relayout_best_effort(compute, state_formats[2])
+            failures += f
+            derived, f = _relayout_best_effort(derived, state_formats[3])
+            failures += f
+        if failures:
+            # Some leaves cannot be materialized in the layouts the AUTO
+            # program requires (backend refusal). Recompile the program
+            # against the layouts the state ACTUALLY has: the inputs then
+            # match by construction, XLA inserts in-program copies only
+            # for the (small) divergent leaves, and donation stays exact
+            # because in/out formats are equal.
+            import warnings
+
+            warnings.warn(
+                f"AUTO-layout state relayout failed for {failures} "
+                f"leaves; recompiling the train step against the "
+                f"materialized layouts", stacklevel=2)
+            actual = tuple(
+                None if t is None else jax.tree.map(lambda x: x.format, t)
+                for t in (params, opt_state, compute, derived))
+            with _no_persistent_cache():
+                self._compiled = self._rebuild_with_formats(
+                    actual, params, opt_state, compute, derived,
+                    raw_batch, key)
+        out = self._compiled(params, opt_state, compute, derived,
+                             raw_batch, key)
+        jax.tree.map(np.asarray, out[-1])  # error barrier (host fetch)
+        return out
+
     def __call__(self, params, opt_state, raw_batch, key):
         compute, derived = self._state(params)
         if self._auto_layout and self._compiled is None:
-            # AUTO-layout lowering needs abstract args (concrete arrays
-            # carry a committed layout, which would conflict).
-            abstract = jax.tree.map(
-                lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype),
-                (params, opt_state, compute, derived, raw_batch, key))
-            self._compiled = self._jit.lower(*abstract).compile()
-            fmts = self._compiled.input_formats[0]
-            params = jax.device_put(params, fmts[0])
-            opt_state = jax.device_put(opt_state, fmts[1])
-            if compute is not None:
-                compute = jax.device_put(compute, fmts[2])
-            if derived is not None:
-                derived = jax.device_put(derived, fmts[3])
-        fn = self._compiled if self._compiled is not None else self._jit
+            try:
+                out = self._first_call_auto(params, opt_state, compute,
+                                            derived, raw_batch, key)
+            except jax.errors.JaxRuntimeError as e:
+                # The AUTO-layout program (or the relayout into it, or
+                # even a compile carrying ANY explicit layout annotation)
+                # is broken on this backend right now. The pre-relayout
+                # state is untouched (relayouts copy); rebuild the step
+                # with PLAIN shardings — no layout annotations anywhere —
+                # measured cost on v5e: ~0.6 ms/step — and carry on.
+                # Never silently: training at a known slower layout is an
+                # operational fact worth a warning.
+                import warnings
+
+                warnings.warn(
+                    f"AUTO-layout train step failed on this backend "
+                    f"({type(e).__name__}: {e}); falling back to plain "
+                    f"default layouts (~0.6 ms/step slower on v5e)",
+                    stacklevel=2)
+                self._compiled = self._rebuild_with_formats(
+                    None, params, opt_state, compute, derived,
+                    raw_batch, key)
+                out = self._compiled(params, opt_state, compute, derived,
+                                     raw_batch, key)
+        else:
+            fn = self._compiled if self._compiled is not None else self._jit
+            out = fn(params, opt_state, compute, derived, raw_batch, key)
         params, opt_state, self._compute_box[0], self._derived_box[0], \
-            loss = fn(params, opt_state, compute, derived, raw_batch, key)
+            loss = out
         out_leaves = jax.tree.leaves(params)
         self._derived_box[1] = out_leaves[0] if out_leaves else None
         return params, opt_state, loss
@@ -492,15 +669,24 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
     if auto_layout is None:
         auto_layout = (jax.default_backend() == "tpu"
                        and jax.process_count() == 1)
+        if auto_layout:
+            # The backend's custom-layout support is intermittently broken
+            # at the service level, and a failed AUTO-layout attempt
+            # poisons the whole client session (even plain compiles start
+            # failing) — so probe health in a throwaway subprocess BEFORE
+            # committing to AUTO (utils/layout_probe.py).
+            from svbrdf_tpu.utils.layout_probe import custom_layouts_healthy
+
+            auto_layout = custom_layouts_healthy()
     compute_box = (share_compute_with.compute_box
                    if share_compute_with is not None else None)
     derived_box = (share_compute_with.derived_box
                    if share_compute_with is not None else None)
 
-    def wrap(jitted, auto=False):
+    def wrap(jitted, auto=False, rebuild=None):
         return TrainStep(jitted, compute_dtype, auto_layout=auto,
                          compute_box=compute_box, derive_fn=derive_fn,
-                         derived_box=derived_box)
+                         derived_box=derived_box, rebuild=rebuild)
 
     if mesh is None:
         if state_formats is not None:
@@ -518,7 +704,19 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
                 step, in_shardings=(auto, auto, auto, auto, None, None),
                 out_shardings=(auto, auto, auto, auto, None),
                 donate_argnums=donate_args)
-            return wrap(jitted, auto=True)
+
+            def rebuild(fmts):
+                # fmts=None: plain default-layout jit (the safe fallback
+                # when the backend rejects ALL custom-layout programs).
+                if fmts is None:
+                    return jax.jit(step, donate_argnums=donate_args)
+                fp, fo, fc, fd = fmts
+                return jax.jit(
+                    step, in_shardings=(fp, fo, fc, fd, None, None),
+                    out_shardings=(fp, fo, fc, fd, None),
+                    donate_argnums=donate_args)
+
+            return wrap(jitted, auto=True, rebuild=rebuild)
         return wrap(jax.jit(step, donate_argnums=donate_args))
 
     repl = mesh_lib.replicated_sharding(mesh)
@@ -539,7 +737,20 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
                          in_shardings=(auto, auto, auto, auto, data, repl),
                          out_shardings=(auto, auto, auto, auto, repl),
                          donate_argnums=donate_args)
-        return wrap(jitted, auto=True)
+
+        def rebuild(fmts):
+            # fmts=None: plain replicated-sharding jit (the safe fallback
+            # when the backend rejects ALL custom-layout programs).
+            if fmts is None:
+                fp = fo = fc = fd = repl
+            else:
+                fp, fo, fc, fd = fmts
+            return jax.jit(step,
+                           in_shardings=(fp, fo, fc, fd, data, repl),
+                           out_shardings=(fp, fo, fc, fd, repl),
+                           donate_argnums=donate_args)
+
+        return wrap(jitted, auto=True, rebuild=rebuild)
     return wrap(jax.jit(
         step,
         in_shardings=(repl, repl, repl, repl, data, repl),

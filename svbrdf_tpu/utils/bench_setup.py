@@ -11,6 +11,7 @@ by hand in two of them).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Any
 
 import jax
@@ -67,7 +68,11 @@ def synthetic_raw_batch(batch: int, size: int, n_views: int = 0,
         axis=-1).astype(np.uint8)
 
     def planes_u8(sv):
-        return np.asarray(_to_phase_planes_any(jnp.asarray(sv)))
+        # The canonical layout helper is shape-math only (reshape +
+        # transpose), so it runs on the numpy arrays directly — feeding it
+        # jnp arrays would round-trip ~25 MB through the tunneled chip's
+        # slow host link (measured: ~7 min of bench 'build' time).
+        return np.ascontiguousarray(_to_phase_planes_any(sv))
 
     return {
         "inputs": np.zeros((batch, n_views, size, size, 3), np.uint8),
@@ -104,21 +109,35 @@ def build_headline_program(batch: int = 8, size: int = 256,
 
     raw = synthetic_raw_batch(batch, size, n_views=0, seed=seed)
     if scan_k > 1:
-        raw = jax.tree.map(
-            lambda x: jax.device_put(
-                np.broadcast_to(x, (scan_k,) + x.shape).copy(),
-                mesh_lib.stacked_batch_sharding(mesh)), raw)
+        # Ship the single ~4 MB batch once and broadcast it to the K-step
+        # stack ON DEVICE: materializing the (K, ...) stack on host and
+        # device_put-ing it moved ~400 MB of uint8 through the tunneled
+        # chip's ~MB/s host link (measured: ~4 min of bench 'build' time).
+        stacked = mesh_lib.stacked_batch_sharding(mesh)
+        stack_fn = jax.jit(
+            lambda t: jax.tree.map(
+                lambda x: jnp.broadcast_to(x[None], (scan_k,) + x.shape), t),
+            out_shardings=stacked)
+        raw = stack_fn(jax.tree.map(jnp.asarray, raw))
     else:
         raw = mesh_lib.shard_batch(raw, mesh)
 
     key = jax.random.key(seed)
-    params = model.init(jax.random.fold_in(key, 1),
-                        jnp.zeros((1, n_views, size, size, 3)))["params"]
-    params = master_cast(params, dtype)  # bf16-SR masters when enabled
-    opt_state = optimizer.init(params)
     repl = mesh_lib.replicated_sharding(mesh)
-    params = jax.device_put(params, repl)
-    opt_state = jax.device_put(opt_state, repl)
+
+    # ONE jitted program builds the whole training state (init +
+    # master-dtype cast + optimizer init): built eagerly, each of the
+    # ~30 small ops is a separate remote compile at ~10 s fixed latency
+    # through the tunnel (measured: ~300 s of bench 'build' time with the
+    # persistent cache off — and the cache is unsafe on TPU, see bench.py).
+    @partial(jax.jit, out_shardings=repl)
+    def build_state(k):
+        params = model.init(k, jnp.zeros((1, n_views, size, size, 3),
+                                         jnp.float32))["params"]
+        params = master_cast(params, dtype)
+        return params, optimizer.init(params)
+
+    params, opt_state = build_state(jax.random.fold_in(key, 1))
 
     return BenchProgram(step=step, params=params, opt_state=opt_state,
                         raw=raw, key=key, scan_k=scan_k, model=model,
