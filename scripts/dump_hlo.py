@@ -12,7 +12,9 @@ import sys
 import jax
 import jax.numpy as jnp
 
-from svbrdf_tpu.utils import bench_setup
+sys.path.insert(0, ".")
+
+from svbrdf_tpu.utils import bench_setup  # noqa: E402
 
 
 def main(out_path: str = "/tmp/step_hlo.txt") -> None:

@@ -302,6 +302,10 @@ class TrainStep:
         self._compute_dtype = compute_dtype
         self._auto_layout = auto_layout
         self._compiled = None
+        # AUTO-layout steps validate their first executed call (relayout
+        # state into the compiler-chosen layouts, force the async error
+        # barrier) even when aot_compile() already produced the executable.
+        self._validated = not auto_layout
         # rebuild(state_formats) -> a fresh jit of the same step with the
         # state in/out shardings pinned to explicit Formats — the fallback
         # when the backend cannot materialize the AUTO program's layouts.
@@ -367,16 +371,26 @@ class TrainStep:
         c = self._ensure_compute(params)
         return c, self._ensure_derived(params, c)
 
-    def lower(self, params, opt_state, raw_batch, key):
+    def _lower_args(self, params, opt_state, raw_batch, key):
         c, d = self._state(params)
-        return self._jit.lower(params, opt_state, c, d, raw_batch, key)
+        args = (params, opt_state, c, d, raw_batch, key)
+        if self._auto_layout:
+            # An AUTO-layout jit rejects concrete arrays (they carry a
+            # committed layout that conflicts with the AUTO request);
+            # lower through abstract shapes, as _compile_auto_layout does.
+            args = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype), args)
+        return args
+
+    def lower(self, params, opt_state, raw_batch, key):
+        return self._jit.lower(
+            *self._lower_args(params, opt_state, raw_batch, key))
 
     def aot_compile(self, params, opt_state, raw_batch, key):
         """Compile without executing — multi-host runs sync a barrier
         between compilation and first collective execution (loop.py)."""
-        c, d = self._state(params)
-        self._compiled = self._jit.lower(params, opt_state, c, d, raw_batch,
-                                         key).compile()
+        self._compiled = self._jit.lower(
+            *self._lower_args(params, opt_state, raw_batch, key)).compile()
 
     def _compile_auto_layout(self, params, opt_state, compute, derived,
                              raw_batch, key):
@@ -429,8 +443,11 @@ class TrainStep:
         InvalidArgument surfacing only at the next host fetch), and the
         first call is the one place a failure can still be recovered: the
         caller falls back to default layouts with the pre-relayout state."""
-        state_formats = self._compile_auto_layout(
-            params, opt_state, compute, derived, raw_batch, key)
+        if self._compiled is not None:  # aot_compile already built it
+            state_formats = self._compiled.input_formats[0][:4]
+        else:
+            state_formats = self._compile_auto_layout(
+                params, opt_state, compute, derived, raw_batch, key)
         with _no_persistent_cache():
             failures = 0
             params, f = _relayout_best_effort(params, state_formats[0])
@@ -469,7 +486,7 @@ class TrainStep:
 
     def __call__(self, params, opt_state, raw_batch, key):
         compute, derived = self._state(params)
-        if self._auto_layout and self._compiled is None:
+        if self._auto_layout and not self._validated:
             try:
                 out = self._first_call_auto(params, opt_state, compute,
                                             derived, raw_batch, key)
@@ -494,6 +511,7 @@ class TrainStep:
                     raw_batch, key)
                 out = self._compiled(params, opt_state, compute, derived,
                                      raw_batch, key)
+            self._validated = True
         else:
             fn = self._compiled if self._compiled is not None else self._jit
             out = fn(params, opt_state, compute, derived, raw_batch, key)

@@ -607,3 +607,57 @@ class TestAutoLayoutStep:
                 traj.append(float(loss))
             losses_out.append(traj)
         assert losses_out[0] == losses_out[1]
+
+    def test_lower_and_aot_compile_on_auto_step(self):
+        """TrainStep.lower / aot_compile work on an AUTO-layout step.
+
+        Regression (round 5): both passed CONCRETE arrays into the
+        AUTO-annotated jit, which JAX rejects ('Layout passed to jit does
+        not match the layout on the respective arg') — they must lower
+        through abstract ShapeDtypeStructs like _compile_auto_layout. An
+        aot-compiled AUTO step must also still run its validated first
+        call and produce the plain step's loss."""
+        import numpy as np
+        import optax
+
+        from svbrdf_tpu import losses
+        from svbrdf_tpu.models import SingleViewModel
+        from svbrdf_tpu.parallel import make_mesh
+        from svbrdf_tpu.parallel import mesh as mesh_lib
+        from svbrdf_tpu.parallel.step import PrepConfig, make_train_step
+
+        mesh = make_mesh(n_devices=2)
+        model = SingleViewModel(num_filters=4, depth=4)
+        optimizer = optax.adam(1e-4)
+        loss_fn = losses.make_loss_fn("mixed", "local", fused=False)
+        prep = PrepConfig(1, True, False, False)
+
+        rng = np.random.default_rng(0)
+        sv = rng.uniform(0.1, 0.9, (2, 16, 16, 12)).astype(np.float32)
+        raw = {"inputs": np.zeros((2, 0, 16, 16, 3), np.float32),
+               "svbrdf": sv}
+        raw = mesh_lib.shard_batch(raw, mesh)
+        key = jax.random.key(313)
+
+        def fresh_state():
+            params = model.init(jax.random.fold_in(key, 1),
+                                jnp.zeros((1, 1, 16, 16, 3)))["params"]
+            return params, optimizer.init(params)
+
+        plain = make_train_step(model, optimizer, loss_fn, prep, mesh,
+                                donate=False, auto_layout=False)
+        params, opt_state = fresh_state()
+        _, _, ref_loss = plain(params, opt_state, raw,
+                               jax.random.fold_in(key, 0))
+
+        step = make_train_step(model, optimizer, loss_fn, prep, mesh,
+                               donate=False, auto_layout=True)
+        params, opt_state = fresh_state()
+        lowered = step.lower(params, opt_state, raw,
+                             jax.random.fold_in(key, 0))
+        assert lowered is not None
+        step.aot_compile(params, opt_state, raw, jax.random.fold_in(key, 0))
+        assert step._compiled is not None and not step._validated
+        _, _, loss = step(params, opt_state, raw, jax.random.fold_in(key, 0))
+        assert step._validated
+        assert float(loss) == float(ref_loss)
