@@ -100,10 +100,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "dilated", "fold", "naive"],
                    default="auto",
                    help="Decoder upsample+conv rewrite (all exact-"
-                        "equivalent; models/layers.UPCONV_IMPL): 'dilated' "
-                        "is fastest on one chip, 'fold' is REQUIRED for "
-                        "spatial (H-axis) sharding. 'auto' = SVBRDF_UPCONV "
-                        "env var, default dilated. Recorded in the "
+                        "equivalent; models/layers.UPCONV_IMPL): 'fold' is "
+                        "REQUIRED for spatial (H-axis) sharding. 'auto' = "
+                        "SVBRDF_UPCONV env var, whose default 'auto' picks "
+                        "per level ('naive' at spatial extents <= "
+                        "SVBRDF_UPCONV_AUTO_MAX=4, 'dilated' above — "
+                        "fastest measured on v5e). Recorded in the "
                         "checkpoint and restored on resume.")
     p.add_argument("--num-devices", dest="num_devices", type=int, default=0,
                    help="Devices in the data mesh (0 = all).")

@@ -325,29 +325,32 @@ _upconv_dilated_direct.defvjp(_upconv_dilated_direct_fwd,
 
 # Implementation selector for the decoder's upsample+conv (benchmarked on
 # v5e; all variants are mathematically identical — tests pin equivalence):
+#   'auto':    DEFAULT. Per-level: 'naive' when the level's input spatial
+#              extent is at or below SVBRDF_UPCONV_AUTO_MAX (default 4),
+#              'dilated' above. Rationale (v5e profile): the dilated form
+#              pays a PER-KERNEL cost every step — materializing the 5x5
+#              kernel from the 4x4 param, dgrad's reverse of it, the
+#              5x5 -> 4x4 gradient reduction, and staging copies of the
+#              4-6.5 MB transformed kernels — which at the deep decoder
+#              levels (1024x512 kernels, <= 8^2 outputs) dwarfs the conv
+#              itself, while the 4x-sized upsampled intermediate 'naive'
+#              avoids is negligible at those sizes. Same parameters either
+#              way. AUTO_MAX measured at 256^2/b8: 4 -> 10.03 ms (twice),
+#              2 -> 10.15, 8 -> 10.10, all-dilated -> 10.25.
 #   'dilated': ONE lhs-dilated conv (dgrad-shaped; no upsampled
-#              intermediate, no extra copies) — DEFAULT, fastest
-#              (14.7 ms step vs fold 17.8 / naive 16.9). NOT
-#              spatial-SPMD-safe: XLA's partitioner mishandles
-#              lhs_dilation + asymmetric padding when the H axis is
-#              sharded (measured 5e-2 output error on a 4-device mesh).
-#              Batch-axis sharding (the training layout) is unaffected.
+#              intermediate, no extra copies) at EVERY level — fastest
+#              single-impl form (14.7 ms step vs fold 17.8 / naive 16.9
+#              measured round 2). NOT spatial-SPMD-safe: XLA's partitioner
+#              mishandles lhs_dilation + asymmetric padding when the H
+#              axis is sharded (measured 5e-2 output error on a 4-device
+#              mesh). Batch-axis sharding (the training layout) is
+#              unaffected.
 #   'fold':    3x3 low-res conv with phase-stacked kernels +
 #              depth-to-space. Bit-exact under spatial SPMD
 #              (tests/test_spatial_sharding.py) — REQUIRED when sharding
 #              H/W across devices; pass upconv='fold' to the model.
 #   'naive':   materialized upsample + pad + 4x4 conv (reference shape).
-#   'auto':    per-level: 'naive' when the level's input spatial extent is
-#              at or below SVBRDF_UPCONV_AUTO_MAX (default 16), 'dilated'
-#              above. Rationale (v5e profile): the dilated form pays a
-#              PER-KERNEL cost every step — materializing the 5x5 kernel
-#              from the 4x4 param, dgrad's reverse of it, the 5x5 -> 4x4
-#              gradient reduction, and staging copies of the 4-6.5 MB
-#              transformed kernels — which at the deep decoder levels
-#              (1024x512 kernels, <= 32^2 outputs) dwarfs the conv itself,
-#              while the 4x-sized upsampled intermediate 'naive' avoids is
-#              negligible at those sizes. Same parameters either way.
-UPCONV_IMPL = os.environ.get("SVBRDF_UPCONV", "dilated")
+UPCONV_IMPL = os.environ.get("SVBRDF_UPCONV", "auto")
 
 
 class FoldedUpConv(nn.Module):
@@ -375,7 +378,7 @@ class FoldedUpConv(nn.Module):
                        (4, 4, cin, self.features), jnp.float32)
         impl = self.impl or UPCONV_IMPL
         if impl == "auto":
-            small_max = int(os.environ.get("SVBRDF_UPCONV_AUTO_MAX", "16"))
+            small_max = int(os.environ.get("SVBRDF_UPCONV_AUTO_MAX", "4"))
             small_impl = os.environ.get("SVBRDF_UPCONV_SMALL", "naive")
             impl = small_impl if x.shape[1] <= small_max else "dilated"
         if impl == "dilated":

@@ -53,6 +53,23 @@ def _prepare(key, raw_batch, prep: PrepConfig):
     )
 
 
+def _cast_inputs(batch, model):
+    """Cast the prepared input images to a bf16 model's compute dtype at
+    the prep/model boundary instead of inside the generator (which casts
+    first thing anyway — generator.py:59 — so the values are bit-identical).
+    Placed here, the convert fuses into the prep producer and the layout
+    copy XLA inserts for the first conv's batch-minor input layout moves
+    bf16 instead of reading f32 (measured 0.103 ms -> ~0.04 ms at 256^2
+    batch 8 on v5e). The barrier pins that order: XLA otherwise fuses the
+    convert INTO the relayout copy, putting the f32 read back."""
+    dt = getattr(model, "dtype", None)
+    if dt == jnp.bfloat16 and batch["inputs"].dtype != dt:
+        batch = dict(batch)
+        batch["inputs"] = jax.lax.optimization_barrier(
+            batch["inputs"].astype(dt))
+    return batch
+
+
 def _with_planes_target(prep: PrepConfig, phase_kwargs) -> PrepConfig:
     """Planes targets pair with planes predictions: only when the model
     emits output_layout='phase_planes' does the fused loss take both sides
@@ -587,7 +604,7 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
 
     def one_step(params, opt_state, compute, derived, raw_batch, key):
         k_prep, k_drop, k_loss = jax.random.split(key, 3)
-        batch = _prepare(k_prep, raw_batch, prep)
+        batch = _cast_inputs(_prepare(k_prep, raw_batch, prep), model)
 
         target = batch.get("svbrdf_planes", batch["svbrdf"])
 
@@ -785,7 +802,7 @@ def make_eval_step(model, loss_fn: Callable, prep: PrepConfig, mesh=None):
 
     def step(params, raw_batch, key):
         k_prep, k_loss = jax.random.split(key)
-        batch = _prepare(k_prep, raw_batch, prep)
+        batch = _cast_inputs(_prepare(k_prep, raw_batch, prep), model)
         pred = model.apply({"params": params}, batch["inputs"],
                            deterministic=True, **phase_kwargs)
         return loss_fn(pred, batch.get("svbrdf_planes", batch["svbrdf"]),
